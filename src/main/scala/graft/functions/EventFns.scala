@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.Envelope
+
+/** Column-level re-expressions of the reference event built-ins. */
+object EventFns {
+
+  /** Sorted-unique insert into the tags array, capped at 1024 entries —
+    * `lc-lib/event/event.go:300-321` (binary-search insert into a sorted,
+    * deduplicated `[]string`). Null-safe: null tags behaves as empty.
+    */
+  def addTag(tags: Column, tag: Column): Column =
+    slice(
+      array_sort(array_distinct(array_union(coalesce(tags, array()), array(tag)))),
+      1, Envelope.MaxTags)
+
+  def addTag(tags: Column, tag: String): Column = addTag(tags, lit(tag))
+
+  /** Remove from the sorted tag set — `lc-lib/event/event.go:325-334`. */
+  def removeTag(tags: Column, tag: String): Column =
+    array_remove(coalesce(tags, array()), tag)
+
+  /** The `_<action>_error` field + `_<action>_failure` tag convention —
+    * `lc-lib/event/event.go:293-296` (`AddError`). Applied conditionally:
+    * when `failed` is true the tag is added and the error message set in
+    * the fields map; otherwise the row is untouched.
+    */
+  def withActionFailure(tagsCol: Column, failed: Column, action: String): Column =
+    when(failed, addTag(tagsCol, s"_${action}_failure")).otherwise(coalesce(tagsCol, array()))
+
+  /** Multi-format date parse, first-successful wins — the `date` action
+    * (`lc-lib/processor/actiondate.go:60-95`). Formats are Go layouts or
+    * the literal "UNIX" (float seconds). Unparseable → null (caller tags
+    * `_date_failure`).
+    */
+  def dateParse(c: Column, goFormats: Seq[String]): Column = {
+    val attempts = goFormats.map {
+      case "UNIX" =>
+        // float seconds since epoch; non-numeric → null
+        to_timestamp(c.cast("double").cast("timestamp"))
+      case layout =>
+        try_to_timestamp(c, lit(GoTime.translate(layout)))
+    }
+    coalesce(attempts: _*)
+  }
+
+  /** `%{field}` / `%{+goLayout}` pattern-string compiler
+    * (`lc-lib/event/pattern.go:27-102`): substitutes event fields into a
+    * template, missing fields → empty string, `%{+layout}` formats the
+    * event timestamp. Static templates (no `%{`) constant-fold for free.
+    *
+    * @param resolve maps a field name to its Column (caller decides
+    *                whether names hit top-level columns or the fields map)
+    * @param tsCol   the `@timestamp` analog used by `%{+...}`
+    */
+  def patternFormat(template: String,
+      resolve: String => Column,
+      tsCol: Column): Column = {
+    val re = "%\\{([^}]+)\\}".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var last = 0
+    for (m <- re.findAllMatchIn(template)) {
+      if (m.start > last) parts += lit(template.substring(last, m.start))
+      val inner = m.group(1)
+      if (inner.startsWith("+"))
+        parts += date_format(tsCol, GoTime.translate(inner.substring(1)))
+      else
+        parts += coalesce(resolve(inner).cast("string"), lit(""))
+      last = m.end
+    }
+    if (last < template.length) parts += lit(template.substring(last))
+    if (parts.isEmpty) lit("") else concat(parts.toSeq: _*)
+  }
+
+  /** RFC3339-or-now timestamp normalisation
+    * (`lc-lib/event/event.go:129-151`): a string timestamp must parse as
+    * RFC3339; otherwise fall back to `fallback` and tag
+    * `_timestamp_parse_failure`. Returns (event_ts, failedFlag) columns.
+    */
+  def normalizeTimestamp(raw: Column, fallback: Column): (Column, Column) = {
+    val parsed = coalesce(
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+    )
+    (coalesce(parsed, fallback), parsed.isNull && raw.isNotNull)
+  }
+
+  /** Max-line truncation + `splitline`-style tagging
+    * (`lc-lib/harvester/linereader.go:76-149`, `docs/Events.md:16-25`):
+    * returns (possibly truncated text, wasTruncated flag).
+    */
+  def maxLineBytes(text: Column, maxBytes: Int): (Column, Column) = {
+    val over = octet_length(text) > maxBytes
+    (when(over, substring(text, 1, maxBytes)).otherwise(text), over)
+  }
+}
