@@ -1,0 +1,298 @@
+package graft.cel
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler for the CEL subset the reference's conditionals and `set_field`
+  * values actually use (`lc-lib/processor/cel.go:37-78`; documented surface
+  * `docs/log-carver/Configuration.md:259-289`):
+  *
+  *   - single bound variable `event` with field access `event.f`,
+  *     `event["f"]`, nested paths;
+  *   - literals: string ('...' / "..."), int, float, bool, null, lists;
+  *   - operators: `|| && ! == != < <= > >= + - * / %`, parentheses,
+  *     ternary `?:`;
+  *   - macros: `has(event.f)`, `x.map(v, expr)`, `x.filter(v, expr)`;
+  *   - functions: `int() double() string() size()`;
+  *   - string methods: `startsWith endsWith contains matches`.
+  *
+  * Compiles directly to a Catalyst Column tree — no per-row interpreter —
+  * so conditional pipelines stay inside whole-stage codegen. Branch
+  * evaluation errors in the reference make the branch false, never fatal
+  * (`lc-lib/processor/ast.go:111-118`); the Column analog is null
+  * propagation: a null predicate is treated as false by `when`.
+  */
+object Cel {
+
+  // ---------------- AST ----------------
+  sealed trait Expr
+  case class Lit(v: Any) extends Expr
+  case class ListLit(items: List[Expr]) extends Expr
+  case class Ident(name: String) extends Expr // includes dotted paths rooted at event
+  case class Index(target: Expr, key: Expr) extends Expr
+  case class Unary(op: String, e: Expr) extends Expr
+  case class Binary(op: String, l: Expr, r: Expr) extends Expr
+  case class Ternary(cond: Expr, t: Expr, f: Expr) extends Expr
+  case class Call(fn: String, args: List[Expr]) extends Expr
+  case class Method(target: Expr, name: String, args: List[Expr]) extends Expr
+  case class Macro(target: Expr, name: String, varName: String, body: Expr) extends Expr
+
+  // ---------------- Lexer ----------------
+  private case class Tok(kind: String, text: String)
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        out += Tok("num", s.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += Tok("ident", s.substring(start, i))
+      } else if (c == '"' || c == '\'') {
+        val q = c
+        val sb = new java.lang.StringBuilder
+        i += 1
+        while (i < n && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && i + 1 < n) {
+            s.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case other => sb.append(other)
+            }
+            i += 2
+          } else { sb.append(s.charAt(i)); i += 1 }
+        }
+        require(i < n, s"unterminated string literal in CEL: $s")
+        i += 1
+        out += Tok("str", sb.toString)
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Set("==", "!=", "<=", ">=", "&&", "||").contains(two)) {
+          out += Tok("op", two); i += 2
+        } else {
+          out += Tok("op", c.toString); i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---------------- Parser (precedence climbing) ----------------
+  private class Parser(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def expect(text: String): Unit = {
+      val t = next()
+      require(t.text == text, s"expected '$text' but found '${t.text}'")
+    }
+
+    def parseExpr(): Expr = parseTernary()
+
+    private def parseTernary(): Expr = {
+      val c = parseOr()
+      if (peek.exists(_.text == "?")) {
+        next(); val t = parseTernary(); expect(":"); val f = parseTernary()
+        Ternary(c, t, f)
+      } else c
+    }
+    private def parseOr(): Expr = {
+      var l = parseAnd()
+      while (peek.exists(_.text == "||")) { next(); l = Binary("||", l, parseAnd()) }
+      l
+    }
+    private def parseAnd(): Expr = {
+      var l = parseCmp()
+      while (peek.exists(_.text == "&&")) { next(); l = Binary("&&", l, parseCmp()) }
+      l
+    }
+    private def parseCmp(): Expr = {
+      var l = parseAdd()
+      while (peek.exists(t => Set("==", "!=", "<", "<=", ">", ">=").contains(t.text))) {
+        val op = next().text; l = Binary(op, l, parseAdd())
+      }
+      l
+    }
+    private def parseAdd(): Expr = {
+      var l = parseMul()
+      while (peek.exists(t => t.text == "+" || t.text == "-")) {
+        val op = next().text; l = Binary(op, l, parseMul())
+      }
+      l
+    }
+    private def parseMul(): Expr = {
+      var l = parseUnary()
+      while (peek.exists(t => Set("*", "/", "%").contains(t.text))) {
+        val op = next().text; l = Binary(op, l, parseUnary())
+      }
+      l
+    }
+    private def parseUnary(): Expr =
+      peek match {
+        case Some(Tok("op", "!")) => next(); Unary("!", parseUnary())
+        case Some(Tok("op", "-")) => next(); Unary("-", parseUnary())
+        case _ => parsePostfix()
+      }
+
+    private def parsePostfix(): Expr = {
+      var e = parsePrimary()
+      var continue = true
+      while (continue) {
+        peek match {
+          case Some(Tok("op", ".")) =>
+            next()
+            val name = next().text
+            if (peek.exists(_.text == "(")) {
+              next()
+              if (name == "map" || name == "filter" || name == "exists" || name == "all") {
+                val v = next().text
+                expect(",")
+                val body = parseExpr()
+                expect(")")
+                e = Macro(e, name, v, body)
+              } else {
+                val args = parseArgs()
+                e = Method(e, name, args)
+              }
+            } else e = e match {
+              case Ident(p) => Ident(s"$p.$name")
+              case other    => Index(other, Lit(name))
+            }
+          case Some(Tok("op", "[")) =>
+            next(); val k = parseExpr(); expect("]")
+            e = (e, k) match {
+              case (Ident(p), Lit(s: String)) => Ident(s"$p.$s")
+              case _ => Index(e, k)
+            }
+          case _ => continue = false
+        }
+      }
+      e
+    }
+
+    private def parseArgs(): List[Expr] = {
+      val args = scala.collection.mutable.ListBuffer.empty[Expr]
+      if (!peek.exists(_.text == ")")) {
+        args += parseExpr()
+        while (peek.exists(_.text == ",")) { next(); args += parseExpr() }
+      }
+      expect(")")
+      args.toList
+    }
+
+    private def parsePrimary(): Expr =
+      next() match {
+        case Tok("num", t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
+        case Tok("str", t) => Lit(t)
+        case Tok("ident", "true") => Lit(true)
+        case Tok("ident", "false") => Lit(false)
+        case Tok("ident", "null") => Lit(null)
+        case Tok("ident", name) =>
+          if (peek.exists(_.text == "(")) { next(); Call(name, parseArgs()) }
+          else Ident(name)
+        case Tok("op", "(") => val e = parseExpr(); expect(")"); e
+        case Tok("op", "[") =>
+          val items = scala.collection.mutable.ListBuffer.empty[Expr]
+          if (!peek.exists(_.text == "]")) {
+            items += parseExpr()
+            while (peek.exists(_.text == ",")) { next(); items += parseExpr() }
+          }
+          expect("]")
+          ListLit(items.toList)
+        case t => throw new IllegalArgumentException(s"unexpected CEL token: ${t.text}")
+      }
+  }
+
+  def parse(src: String): Expr = new Parser(lex(src)).parseExpr()
+
+  // ---------------- Column compiler ----------------
+
+  /** @param resolve maps an `event.`-rooted field path (dots joined) to a
+    *                Column; the pipeline supplies envelope-aware resolution
+    *                (top-level columns vs the `fields` map vs `tags`).
+    */
+  def compile(src: String, resolve: String => Column): Column =
+    toColumn(parse(src), resolve, Map.empty)
+
+  private def toColumn(e: Expr, resolve: String => Column,
+      vars: Map[String, Column]): Column = {
+    def go(x: Expr): Column = toColumn(x, resolve, vars)
+    e match {
+      case Lit(null) => lit(null)
+      case Lit(v) => lit(v)
+      case ListLit(items) => array(items.map(go): _*)
+      case Ident(name) =>
+        val root = name.split('.').head
+        if (vars.contains(root)) {
+          val rest = name.split('.').drop(1)
+          rest.foldLeft(vars(root))((c, f) => c.getField(f))
+        } else if (root == "event") {
+          resolve(name.stripPrefix("event").stripPrefix("."))
+        } else throw new IllegalArgumentException(s"unknown CEL identifier: $name")
+      case Index(t, k) => element_at(go(t), go(k))
+      case Unary("!", x) => !go(x)
+      case Unary("-", x) => -go(x)
+      case Unary(op, _) => throw new IllegalArgumentException(s"bad unary op $op")
+      case Binary(op, l, r) =>
+        val (lc, rc) = (go(l), go(r))
+        op match {
+          case "||" => lc || rc
+          case "&&" => lc && rc
+          case "==" => lc === rc
+          case "!=" => lc =!= rc
+          case "<"  => lc < rc
+          case "<=" => lc <= rc
+          case ">"  => lc > rc
+          case ">=" => lc >= rc
+          // CEL `+` is typed; on strings it concatenates. Detect the
+          // string case structurally (literal strings / concat results),
+          // otherwise emit numeric +; mixed cases resolve at analysis.
+          case "+" =>
+            if (isStringy(l) || isStringy(r)) concat(lc.cast("string"), rc.cast("string"))
+            else lc + rc
+          case "-" => lc - rc
+          case "*" => lc * rc
+          case "/" => lc / rc
+          case "%" => lc % rc
+          case other => throw new IllegalArgumentException(s"bad binary op $other")
+        }
+      case Ternary(c, t, f) => when(go(c), go(t)).otherwise(go(f))
+      case Call("has", List(arg)) => go(arg).isNotNull
+      case Call("int", List(arg)) => go(arg).cast("long")
+      case Call("double", List(arg)) => go(arg).cast("double")
+      case Call("string", List(arg)) => go(arg).cast("string")
+      case Call("size", List(arg)) =>
+        // CEL size() on lists/maps; for string length use e.g.
+        // `event.text.matches(...)`-style tests or a length field —
+        // documented subset divergence
+        size(go(arg))
+      case Call(fn, _) => throw new IllegalArgumentException(s"unsupported CEL function: $fn")
+      case Method(t, "startsWith", List(a)) => go(t).startsWith(go(a))
+      case Method(t, "endsWith", List(a)) => go(t).endsWith(go(a))
+      case Method(t, "contains", List(a)) => go(t).contains(go(a))
+      case Method(t, "matches", List(Lit(re: String))) => go(t).rlike(re)
+      case Method(t, name, _) => throw new IllegalArgumentException(s"unsupported CEL method: $name")
+      case Macro(t, "map", v, body) =>
+        transform(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+      case Macro(t, "filter", v, body) =>
+        filter(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+      case Macro(t, "exists", v, body) =>
+        exists(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+      case Macro(t, "all", v, body) =>
+        forall(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+      case other => throw new IllegalArgumentException(s"unsupported CEL expr: $other")
+    }
+  }
+
+  private def isStringy(e: Expr): Boolean = e match {
+    case Lit(_: String) => true
+    case Binary("+", l, r) => isStringy(l) || isStringy(r)
+    case _ => false
+  }
+}

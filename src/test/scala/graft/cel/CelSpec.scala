@@ -1,0 +1,80 @@
+package graft.cel
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Mirrors `lc-lib/processor/cel_test.go` surface: field access, has(),
+  * operators, coercion, string methods, map/filter macros.
+  */
+class CelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    ("ERROR something bad", 42L, Seq("a", "b"), Map("k" -> "7")),
+    ("info all fine", 7L, Seq("x"), Map.empty[String, String])
+  ).toDF("message", "num", "tags", "fields")
+
+  private def resolve(p: String): Column = p match {
+    case "message" | "num" | "tags" => col(p)
+    case other => element_at(col("fields"), other)
+  }
+
+  private def evalBool(src: String): Seq[Boolean] =
+    df.select(coalesce(Cel.compile(src, resolve), lit(false))).as[Boolean].collect().toSeq
+
+  test("has() on dynamic fields") {
+    assert(evalBool("has(event.k)") == Seq(true, false))
+  }
+
+  test("comparisons and logic") {
+    assert(evalBool("event.num > 10 && event.num != 43") == Seq(true, false))
+    assert(evalBool("event.num == 7 || event.message.startsWith(\"ERROR\")") == Seq(true, true))
+  }
+
+  test("string methods") {
+    assert(evalBool("event.message.startsWith(\"ERROR \")") == Seq(true, false))
+    assert(evalBool("event.message.contains(\"fine\")") == Seq(false, true))
+    assert(evalBool("event.message.matches(\"^[a-z]+ \")") == Seq(false, true))
+    assert(evalBool("event.message.endsWith(\"bad\")") == Seq(true, false))
+  }
+
+  test("arithmetic and int coercion") {
+    val got = df.select(Cel.compile("int(event.k) - 100", resolve)).as[java.lang.Long].collect()
+    assert(got(0) == -93L && got(1) == null)
+    val mul = df.select(Cel.compile("event.num * 100", resolve)).as[Long].collect()
+    assert(mul.toSeq == Seq(4200L, 700L))
+  }
+
+  test("string concatenation with +") {
+    val got = df.select(Cel.compile("\"prefix \" + event.message", resolve)).as[String].collect()
+    assert(got(0) == "prefix ERROR something bad")
+  }
+
+  test("map macro on tags") {
+    val got = df.select(Cel.compile("event.tags.map(tag, \"p_\" + tag)", resolve))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("p_a", "p_b"))
+  }
+
+  test("filter macro on tags") {
+    val got = df.select(Cel.compile("event.tags.filter(tag, tag != \"a\")", resolve))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("b") && got(1) == Seq("x"))
+  }
+
+  test("ternary and size") {
+    val got = df.select(Cel.compile("size(event.tags) > 1 ? \"many\" : \"few\"", resolve))
+      .as[String].collect()
+    assert(got.toSeq == Seq("many", "few"))
+  }
+
+  test("index access with brackets") {
+    assert(evalBool("event[\"k\"] == \"7\"") == Seq(true, false))
+  }
+
+  test("null predicate treated as false by guards (ast.go:111-118)") {
+    // comparing a missing field yields null, coalesced to false
+    assert(evalBool("event.missing == \"x\"") == Seq(false, false))
+  }
+}
