@@ -12,8 +12,42 @@ object SparkEntry {
     TranscriptPipeline.aggregates(spark, turns)
   }
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.queries.Queries._
+    Map(
+      "q_filter_codec" -> (qFilterCodec _),
+      "q_grok_nginx" -> (qGrokNginx _),
+      "q_multiline" -> (qMultiline _),
+      "q_kv_parse" -> (qKvParse _),
+      "q_json_action" -> (qJsonAction _),
+      "q_date_parse" -> (qDateParse _),
+      "q_tags" -> (qTags _),
+      "q_pattern_format" -> (qPatternFormat _),
+      "q_router" -> (qRouter _),
+      "q_enrich_join" -> (qEnrichJoin _),
+      "q_agg_counts" -> (qAggCounts _),
+      "q_order_restore" -> (qOrderRestore _),
+      "q_cel_predicate" -> (qCelPredicate _)
+    )
+  }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    import graft.queries.Queries._
+    Map(
+      "q_filter_codec" -> qFilterCodecSql,
+      "q_grok_nginx" -> qGrokNginxSql,
+      "q_multiline" -> qMultilineSql,
+      "q_kv_parse" -> qKvParseSql,
+      "q_json_action" -> qJsonActionSql,
+      "q_date_parse" -> qDateParseSql,
+      "q_tags" -> qTagsSql,
+      "q_pattern_format" -> qPatternFormatSql,
+      "q_router" -> qRouterSql,
+      "q_enrich_join" -> qEnrichJoinSql,
+      "q_agg_counts" -> qAggCountsSql,
+      "q_order_restore" -> qOrderRestoreSql,
+      "q_cel_predicate" -> qCelPredicateSql
+    )
+  }
 }
