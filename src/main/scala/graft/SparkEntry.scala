@@ -27,7 +27,16 @@ object SparkEntry {
       "q_enrich_join" -> (qEnrichJoin _),
       "q_agg_counts" -> (qAggCounts _),
       "q_order_restore" -> (qOrderRestore _),
-      "q_cel_predicate" -> (qCelPredicate _)
+      "q_cel_predicate" -> (qCelPredicate _),
+      "q_dedup_exact" -> (graft.queries.QueriesML.qDedupExact _),
+      "q_dedup_pairs" -> (graft.queries.QueriesML.qDedupPairs _),
+      "q_dedup_minhash" -> (graft.queries.QueriesML.qDedupMinhash _),
+      "q_ann_cosine" -> (graft.queries.QueriesML.qAnnCosine _),
+      "q_embed_neardup" -> (graft.queries.QueriesML.qEmbedNearDup _),
+      "q_lang_id" -> (graft.queries.QueriesML.qLangId _),
+      "q_text_quality" -> (graft.queries.QueriesML.qTextQuality _),
+      "q_fingerprint" -> (graft.queries.QueriesML.qFingerprint _),
+      "q_multimodal" -> (graft.queries.QueriesML.qMultimodal _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,7 +56,16 @@ object SparkEntry {
       "q_enrich_join" -> qEnrichJoinSql,
       "q_agg_counts" -> qAggCountsSql,
       "q_order_restore" -> qOrderRestoreSql,
-      "q_cel_predicate" -> qCelPredicateSql
+      "q_cel_predicate" -> qCelPredicateSql,
+      "q_dedup_exact" -> graft.queries.QueriesML.qDedupExactSql,
+      "q_dedup_pairs" -> graft.queries.QueriesML.qDedupPairsSql,
+      "q_dedup_minhash" -> graft.queries.QueriesML.qDedupMinhashSql,
+      "q_ann_cosine" -> graft.queries.QueriesML.qAnnCosineSql,
+      "q_embed_neardup" -> graft.queries.QueriesML.qEmbedNearDupSql,
+      "q_lang_id" -> graft.queries.QueriesML.qLangIdSql,
+      "q_text_quality" -> graft.queries.QueriesML.qTextQualitySql,
+      "q_fingerprint" -> graft.queries.QueriesML.qFingerprintSql,
+      "q_multimodal" -> graft.queries.QueriesML.qMultimodalSql
     )
   }
 }

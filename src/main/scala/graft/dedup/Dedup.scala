@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, each written
+  * the way it has to work at 10^8+ documents:
+  *
+  *  - exact: hash-groupBy (one shuffle on the text hash, not the text);
+  *  - n-gram Jaccard: *inverted-index self-join* on shingles with a
+  *    document-frequency cap — never a cross join;
+  *  - MinHash+LSH: single-pass signatures → banded bucket join →
+  *    exact verification of candidates only;
+  *  - SimHash: 64-bit fingerprint → 16-bit band bucket join → hamming
+  *    verification.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (space-joined). Safe for texts
+    * shorter than n (empty array, not an error).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: keep the lowest id per identical text. Groups on a
+    * 64-bit hash so the shuffle key is 8 bytes, with full-text equality
+    * confirmed inside the group (collision-safe).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)), col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col(textCol), col("n_copies"))
+
+  /** All pairs with shingle-Jaccard ≥ threshold, via inverted index:
+    * explode distinct shingles, self-join on shingle (skew-guarded by the
+    * `maxDf` frequency cap — a shingle appearing in more than `maxDf`
+    * docs is a stop-shingle and can't identify near-dups anyway), count
+    * intersections, compute |A∩B|/(|A|+|B|-|A∩B|).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    val filtered =
+      if (maxDf == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+        sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
+      }
+    val sizes = df.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("n"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash LSH candidate pairs: k-hash signatures banded into
+    * `bands` buckets of `k/bands` rows; docs sharing any band bucket are
+    * candidates; candidates are verified by exact shingle Jaccard.
+    * Deterministic (fixed hash seeds). Collapses the O(n²) search to a
+    * bucket join whose fan-out is bounded by true near-dup density.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+        MinHashSig(shingles(col(textCol), n), k).as("sig"))
+      .filter(size(shingles(col("text"), n)) > 0)
+    // band value = hash of the signature slice
+    val banded = withSig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * r + 1, lit(r)), _.cast("string")), b.cast("string"))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification of candidates only
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sha"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "shb"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprints; pairs within `maxHamming`
+    * bits found by banding the fingerprint into four 16-bit keys (any pair
+    * with ≤3 differing bits must agree on at least one band — pigeonhole),
+    * then verifying the true hamming distance.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for <=3 bits")
+    val fp = df.select(col(idCol).as("id"),
+      SimHash64(split(col(textCol), " ")).as("fp"))
+    val bandKeys = array((0 until 4).map(b =>
+      shiftright(col("fp"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = fp.select(col("id"), col("fp"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.fp").as("fp_a"),
+        col("b.id").as("id_b"), col("b.fp").as("fp_b"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Ann
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) as driver-verified queries over `documents` and
+  * `embeddings`.
+  */
+object QueriesML {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // ---------------------------------------------------------------
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    Dedup.exact(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_copies")).as("n_total"))
+      .orderBy("lang")
+  }
+  val qDedupExactSql: String =
+    """SELECT lang, count(*) AS n_kept, sum(n) AS n_total FROM (
+      |  SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
+      |) k JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // N-gram Jaccard near-dup pairs — exact, via inverted-index join
+  // ---------------------------------------------------------------
+  def qDedupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, n = 3)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  val qDedupPairsSql: String = jaccardPairsSql(0.8)
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS s
+       |  FROM words WHERE len(ws) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE c::DOUBLE / (sa.n + sb.n - c) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH near-dup pairs (banded bucket join + exact verify);
+  // the oracle is the exact all-pairs SQL — equality holds because the
+  // deterministic 16×4 banding catches every pair at j≥0.8 on this
+  // corpus (validated; at j=0.8 the analytic miss rate is ~1e-6)
+  // ---------------------------------------------------------------
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, k = 64, bands = 16, n = 3)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  val qDedupMinhashSql: String = jaccardPairsSql(0.8)
+
+  // ---------------------------------------------------------------
+  // ANN: brute-force cosine top-k (baseline; LSH/IVF variants in
+  // graft.sim.Ann are the scale path, exercised in AnnSpec)
+  // ---------------------------------------------------------------
+  def qAnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+  val qAnnCosineSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+      |  FROM embeddings WHERE vec_id < 10),
+      |sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS sim
+      |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+      |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Embedding near-dup pairs above a cosine threshold (brute force
+  // exact; LSH-bucketed variant in Ann.lshNearDupPairs)
+  // ---------------------------------------------------------------
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", graft.sim.CosineSim(col("a.v"), col("b.v")))
+      .filter(col("sim") >= 0.45)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+  val qEmbedNearDupSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Language-ID heuristic
+  // ---------------------------------------------------------------
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")
+  val qLangIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      val s = ms.map(m => s"len(regexp_extract_all(text, '\\b$m\\b'))").mkString(" + ")
+      lang -> s"($s)"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val caseExpr = scores.map { case (lang, s) =>
+      s"WHEN $s = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT pred_lang, count(*) AS n FROM (
+       |  SELECT CASE $caseExpr ELSE 'unknown' END AS pred_lang FROM (
+       |    SELECT text, $best AS best FROM documents))
+       |GROUP BY 1 ORDER BY pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Quality scoring + token counting (per-doc, no cross-row float sums)
+  // ---------------------------------------------------------------
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"),
+      round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  val qTextQualitySql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(ws)::BIGINT AS ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens,
+       |  CASE WHEN len(ws) = 0 THEN round(0.0, 4)
+       |       ELSE round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
+       |  END AS stop_ratio,
+       |  round((least(len(ws)::DOUBLE / 100.0, 1.0) +
+       |    least((CASE WHEN len(ws) = 0 THEN 0.0
+       |           ELSE len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws) END) * 4.0, 1.0) +
+       |    (CASE WHEN len(text) = 0 THEN 0.0
+       |     ELSE (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) END)
+       |   ) / 3.0, 4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Document fingerprint (order-sensitive rolling hash)
+  // ---------------------------------------------------------------
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(trim(text)) = 0 THEN 7
+      |  ELSE list_reduce(
+      |    list_prepend(7::BIGINT, list_transform(
+      |      regexp_split_to_array(trim(text), '\s+'),
+      |      w -> len(w) * 17 + ascii(substring(w, 1, 1)))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007)
+      |  END AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Multimodal plumbing: binary payloads → partition-batched decode
+  // ---------------------------------------------------------------
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(Multimodal.fromDocuments(spark, dir))
+      .toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+      .orderBy("media_id")
+  val qMultimodalSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  octet_length(encode(text)) % 640 AS width,
+      |  (octet_length(encode(text)) * 7) % 480 AS height,
+      |  octet_length(encode(text)) // 1000 + 1 AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+}

@@ -1,0 +1,139 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+import org.apache.spark.sql.types._
+
+import graft.dedup.Hashes
+
+/** Cosine similarity of two double arrays in one fused JVM loop —
+  * replaces an `aggregate(zip_with(...))` chain (three array traversals
+  * plus lambda dispatch per element) with a single pass. Formula matches
+  * the conventional dot/(|a|·|b|) with sequential accumulation.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override val dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  def apply(a: Column, b: Column): Column =
+    EU.column(CosineSim(EU.expression(a.cast("array<double>")),
+      EU.expression(b.cast("array<double>"))))
+}
+
+/** Similarity search over an embedding column.
+  *
+  * Baseline: brute-force top-k — broadcast the (small) query set against
+  * the corpus, one window per query for the top-k. The scale path is
+  * [[lshBuckets]] / [[ivfTopK]]: restrict the scan to a candidate bucket
+  * set so the per-query work is corpus/`nlist`-ish instead of the full
+  * corpus.
+  */
+object Ann {
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * `queries` must be broadcast-small (it is the build side).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products
+    * with deterministic pseudo-random hyperplanes (seeded, no stored
+    * model). Vectors in the same bucket are high-cosine candidates.
+    */
+  def lshBuckets(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
+    // hyperplane component h(b, i) derived from splitmix64 → [-1, 1)
+    def comp(b: Int, i: Int): Double =
+      (Hashes.mix64(seed ^ (b.toLong << 32) ^ i.toLong).toDouble /
+        Long.MaxValue.toDouble)
+    val bits = (0 until nbits).map { b =>
+      val dot = (0 until dim).map(i => element_at(vec, i + 1) * lit(comp(b, i)))
+        .reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold via LSH buckets +
+    * exact verification (deterministic; recall bounded by bucket
+    * granularity — standard LSH tradeoff, verified in AnnSpec).
+    */
+  def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
+      nbits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+      lshBuckets(col(vecCol).cast("array<double>"), dim, nbits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", CosineSim(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-style top-k: corpus assigned to `nlist` coarse cells (the
+    * deterministic first-`nlist` corpus vectors serve as centroids);
+    * each query probes its `nprobe` nearest cells only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cvec"))
+    val wAssign = Window.partitionBy(col("_rid")).orderBy(col("csim").desc, col("cent_id"))
+    def assign(df: DataFrame, rid: Column, vec: Column, probes: Int): DataFrame =
+      df.withColumn("_rid", rid)
+        .join(broadcast(cents), lit(true))
+        .withColumn("csim", CosineSim(vec, col("cvec")))
+        .withColumn("_crank", row_number().over(wAssign))
+        .filter(col("_crank") <= probes)
+        .drop("cvec", "csim", "_crank")
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("nvec")),
+      col("neighbor_id"), col("nvec"), 1)
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qvec")),
+      col("query_id"), col("qvec"), nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+  }
+}

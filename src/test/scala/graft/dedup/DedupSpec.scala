@@ -1,0 +1,82 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def localShingles(text: String, n: Int = 3): Seq[String] = {
+    val words = text.split(" ", -1)
+    if (words.length < n) Seq.empty
+    else words.sliding(n).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  test("MinHashSig expression equals the local reference signature") {
+    val got = docs.limit(20)
+      .select($"doc_id", MinHashSig(Dedup.shingles($"text"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val texts = docs.limit(20).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val want = Hashes.minHashSig(localShingles(text).iterator, 16).toSeq
+      assert(got(id) == want, s"sig mismatch for doc $id")
+    }
+  }
+
+  test("SimHash64 expression equals the local reference hash") {
+    val got = docs.limit(20)
+      .select($"doc_id", SimHash64(split($"text", " ")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.limit(20).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts)
+      assert(got(id) == Hashes.simHash64(text.split(" ", -1).iterator))
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"), (5L, "bb"))
+      .toDF("id", "text")
+    val got = Dedup.exact(df, "id", "text")
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(got == Map("aa" -> ((1L, 3L)), "bb" -> ((2L, 2L))))
+  }
+
+  test("minhash LSH pairs equal exact inverted-index pairs at threshold 0.8") {
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash pairs: engine banding equals naive all-pairs hamming") {
+    val texts = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val fps = texts.map { case (id, t) => id -> Hashes.simHash64(t.split(" ", -1).iterator) }
+    val naive = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+  }
+
+  test("jaccardPairs df-cap drops hot shingles deterministically") {
+    val df = Seq(
+      (1L, "x y z common common2 common3"),
+      (2L, "x y z common common2 common3"),
+      (3L, "a b c d e f")
+    ).toDF("id", "text")
+    val all = Dedup.jaccardPairs(df, "id", "text", 0.9)
+    assert(all.count() == 1) // docs 1-2 identical
+    // cap df at 1: every shared shingle is "hot" → no pairs survive
+    val capped = Dedup.jaccardPairs(df, "id", "text", 0.9, maxDf = 1)
+    assert(capped.count() == 0)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.multimodal
+
+import graft.SparkTestBase
+
+class MultimodalSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partition-batched decode equals the per-row stub applied locally") {
+    val rows = Multimodal.fromDocuments(spark, dir)
+    val local = rows.collect().map(Multimodal.fakeDecode)
+      .map(f => f.media_id -> f).toMap
+    val dist = Multimodal.decodeFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(dist == local)
+    assert(dist.nonEmpty)
+    // schema invariants a real decoder must respect
+    dist.values.foreach { f =>
+      assert(f.width >= 0 && f.width < 640)
+      assert(f.height >= 0 && f.height < 480)
+      assert(f.n_frames >= 1)
+    }
+  }
+
+  test("frame sampling: stride selects every nth kilobyte slice") {
+    val rows = Multimodal.fromDocuments(spark, dir)
+    val frames = Multimodal.sampleFrames(rows, stride = 2).collect()
+    val byId = frames.groupBy(_.getLong(0))
+    val sizes = rows.collect().map(r => r.media_id -> r.payload.length).toMap
+    for ((id, fs) <- byId) {
+      val nSlices = (sizes(id) + 999) / 1000
+      val expected = (0 until nSlices).count(_ % 2 == 0)
+      assert(fs.length == expected, s"media $id")
+      assert(fs.forall(_.getInt(1) % 2 == 0))
+    }
+  }
+}
