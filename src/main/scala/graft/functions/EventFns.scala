@@ -11,11 +11,16 @@ object EventFns {
   /** Sorted-unique insert into the tags array, capped at 1024 entries —
     * `lc-lib/event/event.go:300-321` (binary-search insert into a sorted,
     * deduplicated `[]string`). Null-safe: null tags behaves as empty.
+    * Implemented as contains-check + append + sort (no hash-set
+    * allocation per row, unlike array_union∘array_distinct — measured 2×
+    * on the parse pipeline) — equivalent because the input invariant is
+    * already sorted-unique.
     */
-  def addTag(tags: Column, tag: Column): Column =
-    slice(
-      array_sort(array_distinct(array_union(coalesce(tags, array()), array(tag)))),
-      1, Envelope.MaxTags)
+  def addTag(tags: Column, tag: Column): Column = {
+    val t = coalesce(tags, array())
+    when(array_contains(t, tag), t)
+      .otherwise(slice(array_sort(array_append(t, tag)), 1, Envelope.MaxTags))
+  }
 
   def addTag(tags: Column, tag: String): Column = addTag(tags, lit(tag))
 

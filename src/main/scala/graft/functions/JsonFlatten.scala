@@ -24,7 +24,10 @@ case class JsonFlatten(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "json_flatten"
   override val dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    EvalMemo.memo(JsonFlatten, input.asInstanceOf[UTF8String])(evalRaw(input))
+
+  private def evalRaw(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val node = try JsonFlatten.mapper.readTree(s) catch { case _: Exception => null }
     if (node == null || !node.isObject) return null

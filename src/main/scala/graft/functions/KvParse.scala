@@ -31,23 +31,44 @@ case class KvParse(child: Expression) extends UnaryExpression with CodegenFallba
   override def prettyName: String = "kv_parse"
   override val dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    EvalMemo.memo(KvParse, input.asInstanceOf[UTF8String])(evalRaw(input))
+
+  private def evalRaw(input: Any): Any = {
+    KvCounters.evals.incrementAndGet()
     val s = input.asInstanceOf[UTF8String].toString
     KvParse.parse(s) match {
       case null => null
       case pairs =>
         // last occurrence wins (the reference re-resolves the field per
-        // pair); dedup here because Catalyst map data must be key-unique
-        val m = new java.util.LinkedHashMap[String, String]()
-        pairs.foreach { case (k, v) => m.put(k, v) }
-        val keys = new Array[Any](m.size)
-        val vals = new Array[Any](m.size)
+        // pair); Catalyst map data must be key-unique, so dedup — but
+        // only pay for it when a duplicate actually exists (rare)
+        var hasDup = false
         var i = 0
-        val it = m.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          keys(i) = UTF8String.fromString(e.getKey)
-          vals(i) = UTF8String.fromString(e.getValue)
+        while (!hasDup && i < pairs.length) {
+          var j = i + 1
+          while (!hasDup && j < pairs.length) {
+            if (pairs(i)._1 == pairs(j)._1) hasDup = true
+            j += 1
+          }
+          i += 1
+        }
+        val deduped =
+          if (!hasDup) pairs
+          else {
+            val m = new java.util.LinkedHashMap[String, String]()
+            pairs.foreach { case (k, v) => m.put(k, v) }
+            val out = new Array[(String, String)](m.size)
+            var n = 0
+            m.forEach((k, v) => { out(n) = (k, v); n += 1 })
+            out
+          }
+        val keys = new Array[Any](deduped.length)
+        val vals = new Array[Any](deduped.length)
+        i = 0
+        while (i < deduped.length) {
+          keys(i) = UTF8String.fromString(deduped(i)._1)
+          vals(i) = UTF8String.fromString(deduped(i)._2)
           i += 1
         }
         ArrayBasedMapData(keys, vals)

@@ -124,7 +124,7 @@ object Grok {
     * typed response / bytes / request-time captures.
     */
   val NginxAccess: String =
-    "%{IPV4:client} - %{USER:user} \\[%{HTTPDATE:timestamp}\\] " +
+    "^%{IPV4:client} - %{USER:user} \\[%{HTTPDATE:timestamp}\\] " +
       "\"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}\" " +
       "%{NUMBER:response:int} %{NUMBER:bytes:int} \"%{DATA:referrer}\" " +
       "\"%{DATA:agent}\" %{NUMBER:requesttime:float}"

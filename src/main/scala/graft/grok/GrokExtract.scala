@@ -36,7 +36,10 @@ case class GrokExtract(child: Expression, compiled: CompiledGrok)
 
   @transient private lazy val fieldArr = compiled.fields.toArray
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.EvalMemo.memo(("gx", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
+
+  private def evalRaw(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     val m = compiled.pattern.matcher(s)
     if (!m.find()) return null
@@ -80,7 +83,11 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
 
   @transient private lazy val fieldArr = compiled.fields.toArray
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.EvalMemo.memo(("gxm", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
+
+  private def evalRaw(input: Any): Any = {
+    GrokCounters.evals.incrementAndGet()
     val s = input.asInstanceOf[UTF8String].toString
     val m = compiled.pattern.matcher(s)
     if (!m.find()) return null

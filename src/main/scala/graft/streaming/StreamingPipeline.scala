@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Turn
+import graft.route.Router
+import graft.TranscriptPipeline
+
+/** Structured-Streaming face of the engine — the same stage functions the
+  * batch path uses, run per micro-batch. This is the direct analog of the
+  * reference's continuous ship→parse→route loop:
+  *
+  *   - incremental source + checkpoint ↔ harvester resume offsets
+  *     (`lc-lib/registrar/registrar.go`): the streaming checkpoint IS the
+  *     registrar, maintained by Spark;
+  *   - `maxFilesPerTrigger` ↔ spool-size batching / in-flight bounds
+  *     (`lc-lib/spooler/spooler.go:85-166`);
+  *   - foreachBatch with idempotent per-batch output ↔ ordered
+  *     acknowledgement upgraded to exactly-once batch commits.
+  */
+object StreamingPipeline {
+
+  /** Run the full parse→enrich→route pipeline as a stream over a growing
+    * parquet directory; each micro-batch lands routed output under
+    * `outDir/batch=<id>` (idempotent per batch id — reprocessing a batch
+    * overwrites the same directory).
+    */
+  def run(spark: SparkSession, inputDir: String, checkpointDir: String,
+      outDir: String, maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    val turns = spark.readStream
+      .schema(Turn.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    turns.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned = TranscriptPipeline.run(batch.sparkSession, batch)
+        Router.stripMeta(assigned)
+          .write.mode("overwrite")
+          .partitionBy(Router.SinkCol)
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming multiline-timeout analog (`previous timeout`,
+    * `lc-lib/codecs/multiline/multiline.go:281-319`): assemble events per
+    * conversation with an event-time session gap; the watermark flushes a
+    * session once no line can arrive within the gap — exactly the
+    * deadline-routine semantics, but driven by event time.
+    */
+  def sessionAssemble(turns: DataFrame, gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    turns
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("conv_id"))
+      .agg(
+        min(col("turn_idx")).as("first_turn_idx"),
+        max(col("turn_idx")).as("last_turn_idx"),
+        count(lit(1)).cast("long").as("n_lines"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("turn_idx").as("i"), col("text").as("t")))),
+          x => x.getField("t")), "\n").as("text"))
+      .select(col("conv_id"), col("session_window.start").as("session_start"),
+        col("first_turn_idx"), col("last_turn_idx"), col("n_lines"), col("text"))
+
+  /** Windowed per-sink throughput counters — the admin-API live metrics
+    * (`speed_lps`-style, 5 s EWMA analog becomes a sliding event-time
+    * window aggregate).
+    */
+  def sinkRates(assigned: DataFrame, window: String = "1 minute",
+      slide: String = "30 seconds"): DataFrame =
+    assigned
+      .withWatermark("ts", "5 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
+        col(Router.SinkCol).as("sink"))
+      .agg(count(lit(1)).as("turns"), sum(octet_length(col("text"))).as("bytes"))
+}

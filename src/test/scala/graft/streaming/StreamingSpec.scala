@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.model.TranscriptGen
+import graft.route.Router
+import graft.TranscriptPipeline
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming pipeline over micro-batches equals the batch pipeline") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inputDir = s"$tmp/in"
+    val turns = TranscriptGen.generate(spark, seed = 21L, nConvs = 30L, parallelism = 4).toDF()
+    turns.write.parquet(inputDir)
+
+    val q = StreamingPipeline.run(spark, inputDir, s"$tmp/ckpt", s"$tmp/out",
+      maxFilesPerTrigger = 2)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read
+      .option("basePath", s"$tmp/out")
+      .parquet(s"$tmp/out/batch=*")
+    val batch = Router.stripMeta(TranscriptPipeline.run(spark, turns))
+
+    assert(streamed.count() == batch.count())
+    val sCounts = streamed.groupBy(Router.SinkCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bCounts = batch.groupBy(Router.SinkCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sCounts == bCounts)
+    // per-turn text equality across the streamed output
+    val sTexts = streamed.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val bTexts = batch.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(sTexts == bTexts)
+  }
+
+  test("session_window assembly flushes on event-time gaps") {
+    import spark.implicits._
+    val rows = Seq(
+      ("c1", 0, "a", ts(0)), ("c1", 1, "b", ts(60)),      // same session
+      ("c1", 2, "c", ts(2000)),                           // new session (gap > 10 min)
+      ("c2", 0, "x", ts(30))
+    ).toDF("conv_id", "turn_idx", "text", "ts")
+    // batch-mode session_window exercises the same plan the stream uses
+    val got = StreamingPipeline.sessionAssemble(rows)
+      .orderBy("conv_id", "first_turn_idx")
+      .select("conv_id", "n_lines", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(("c1", 2L, "a\nb"), ("c1", 1L, "c"), ("c2", 1L, "x")))
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(1767225600000L + sec * 1000L)
+}
