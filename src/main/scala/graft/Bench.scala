@@ -73,10 +73,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // ~13.2 turns/conv → sf0.1 ≈ 2M turns (large enough that the 2-core
-    // leg is compute-bound, small enough to keep the whole bench < 5 min)
-    val nConvs = math.max((sf * 1.5e6).toLong, 2000L)
-    val inputDir = s"/tmp/graft_bench_input_$nConvs"
+    // ~13.2 turns/conv → sf0.1 ≈ 8M turns: big enough that the ~1s fixed
+    // job cost (submit, listing, commit) amortises — at toy sizes it
+    // dominates the N->4N ratio, at the real 10^12-turn target it is
+    // irrelevant, so measuring steady-state requires a non-toy batch
+    val nConvs = math.max((sf * 6e6).toLong, 2000L)
+    val inputDir = s"/tmp/graft_bench_input_v2_$nConvs"
     val outDir = "/tmp/graft_bench_out"
     val warmDir = "/tmp/graft_bench_warm"
 
@@ -87,7 +89,7 @@ object Bench {
     locally {
       val spark = session(cpus)
       if (!Files.exists(Paths.get(s"$inputDir/_SUCCESS")))
-        TranscriptGen.generate(spark, seed = 42L, nConvs, parallelism = cpus * 4)
+        TranscriptGen.generate(spark, seed = 42L, nConvs, parallelism = 32)
           .write.mode("overwrite").parquet(inputDir)
       if (!Files.exists(Paths.get(s"$warmDir/_SUCCESS")))
         TranscriptGen.generate(spark, seed = 1L, nConvs = 3000L, parallelism = cpus)

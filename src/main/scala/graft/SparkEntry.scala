@@ -28,6 +28,8 @@ object SparkEntry {
       "q_agg_counts" -> (qAggCounts _),
       "q_order_restore" -> (qOrderRestore _),
       "q_cel_predicate" -> (qCelPredicate _),
+      "q_maxline" -> (qMaxLine _),
+      "q_source_union" -> (qSourceUnion _),
       "q_dedup_exact" -> (graft.queries.QueriesML.qDedupExact _),
       "q_dedup_pairs" -> (graft.queries.QueriesML.qDedupPairs _),
       "q_dedup_minhash" -> (graft.queries.QueriesML.qDedupMinhash _),
@@ -57,6 +59,8 @@ object SparkEntry {
       "q_agg_counts" -> qAggCountsSql,
       "q_order_restore" -> qOrderRestoreSql,
       "q_cel_predicate" -> qCelPredicateSql,
+      "q_maxline" -> qMaxLineSql,
+      "q_source_union" -> qSourceUnionSql,
       "q_dedup_exact" -> graft.queries.QueriesML.qDedupExactSql,
       "q_dedup_pairs" -> graft.queries.QueriesML.qDedupPairsSql,
       "q_dedup_minhash" -> graft.queries.QueriesML.qDedupMinhashSql,

@@ -273,6 +273,13 @@ object Cel {
         // documented subset divergence
         size(go(arg))
       case Call(fn, _) => throw new IllegalArgumentException(s"unsupported CEL function: $fn")
+      // the reference's custom json CEL library
+      // (`lc-lib/processor/ext/json.go:41-77`)
+      case Method(Ident("json"), "encode", List(a)) => to_json(go(a))
+      case Method(Ident("json"), "decode", List(a)) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.JsonFlatten(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(a))))
       case Method(t, "startsWith", List(a)) => go(t).startsWith(go(a))
       case Method(t, "endsWith", List(a)) => go(t).endsWith(go(a))
       case Method(t, "contains", List(a)) => go(t).contains(go(a))

@@ -11,16 +11,13 @@ object EventFns {
   /** Sorted-unique insert into the tags array, capped at 1024 entries —
     * `lc-lib/event/event.go:300-321` (binary-search insert into a sorted,
     * deduplicated `[]string`). Null-safe: null tags behaves as empty.
-    * Implemented as contains-check + append + sort (no hash-set
-    * allocation per row, unlike array_union∘array_distinct — measured 2×
-    * on the parse pipeline) — equivalent because the input invariant is
-    * already sorted-unique.
+    * Implemented as a custom codegen'd binary-search-insert expression —
+    * the built-in `array_sort∘array_append` spelling is a higher-order
+    * function (CodegenFallback) which would bar the whole projection from
+    * whole-stage codegen, and allocates hash sets / lambda frames per row.
     */
-  def addTag(tags: Column, tag: Column): Column = {
-    val t = coalesce(tags, array())
-    when(array_contains(t, tag), t)
-      .otherwise(slice(array_sort(array_append(t, tag)), 1, Envelope.MaxTags))
-  }
+  def addTag(tags: Column, tag: Column): Column =
+    SortedTagInsert(coalesce(tags, array()), tag)
 
   def addTag(tags: Column, tag: String): Column = addTag(tags, lit(tag))
 

@@ -3,7 +3,7 @@ package graft.functions
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `from_json` needs a fixed schema; this expression handles the
   * schema-free top-level-merge semantics the reference has.
   */
-case class JsonFlatten(child: Expression) extends UnaryExpression with CodegenFallback {
+case class JsonFlatten(child: Expression) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "json_flatten"
@@ -40,6 +40,16 @@ case class JsonFlatten(child: Expression) extends UnaryExpression with CodegenFa
       vals += UTF8String.fromString(JsonFlatten.render(e.getValue))
     }
     ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+
+  def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonFlatten", this, classOf[JsonFlatten].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.MapData) $ref.evalInput($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): JsonFlatten =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `str_to_map` cannot express the quoting rules, hence a custom
   * expression; CodegenFallback keeps it inside whole-stage codegen.
   */
-case class KvParse(child: Expression) extends UnaryExpression with CodegenFallback {
+case class KvParse(child: Expression) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "kv_parse"
@@ -35,7 +35,6 @@ case class KvParse(child: Expression) extends UnaryExpression with CodegenFallba
     EvalMemo.memo(KvParse, input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    KvCounters.evals.incrementAndGet()
     val s = input.asInstanceOf[UTF8String].toString
     KvParse.parse(s) match {
       case null => null
@@ -73,6 +72,16 @@ case class KvParse(child: Expression) extends UnaryExpression with CodegenFallba
         }
         ArrayBasedMapData(keys, vals)
     }
+  }
+
+  def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kvParse", this, classOf[KvParse].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.MapData) $ref.evalInput($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): KvParse =

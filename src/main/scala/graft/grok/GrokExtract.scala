@@ -3,7 +3,7 @@ package graft.grok
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominates cost, so a hand-rolled doGenCode buys little.
   */
 case class GrokExtract(child: Expression, compiled: CompiledGrok)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "grok_extract"
@@ -66,6 +66,18 @@ case class GrokExtract(child: Expression, compiled: CompiledGrok)
     new GenericInternalRow(values)
   }
 
+  def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+
+  // real codegen (not CodegenFallback) so surrounding operators stay
+  // inside whole-stage codegen; the regex work happens in evalInput
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("grokExtract", this, classOf[GrokExtract].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalInput($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): GrokExtract =
     copy(child = newChild)
 }
@@ -75,7 +87,7 @@ case class GrokExtract(child: Expression, compiled: CompiledGrok)
   * merges grok output into `fields: Map[String,String]`.
   */
 case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "grok_extract_map"
@@ -87,7 +99,6 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
     graft.functions.EvalMemo.memo(("gxm", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    GrokCounters.evals.incrementAndGet()
     val s = input.asInstanceOf[UTF8String].toString
     val m = compiled.pattern.matcher(s)
     if (!m.find()) return null
@@ -104,6 +115,16 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
       i += 1
     }
     ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+
+  def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("grokExtractMap", this, classOf[GrokExtractMap].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.MapData) $ref.evalInput($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): GrokExtractMap =

@@ -59,12 +59,12 @@ object Pipeline {
   }
 
   /** Merge two string maps, right side winning on key conflicts (the
-    * reference re-resolves each key into the event map).
+    * reference re-resolves each key into the event map). Custom
+    * codegen'd expression — the `map_concat∘map_filter` spelling is a
+    * higher-order function that blocks whole-stage codegen.
     */
   def mergeMaps(base: Column, over: Column): Column =
-    map_concat(
-      map_filter(base, (k, _) => !map_contains_key(over, k)),
-      over)
+    graft.functions.MapMergeLastWin(base, over)
 
   /** Apply a full pipeline. Guards are null-safe: a null predicate is
     * false (`ast.go:111-118` — eval errors make the branch false).

@@ -302,6 +302,56 @@ object Queries {
       |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
 
   // ---------------------------------------------------------------
+  // §2.1 S3 — max line bytes: truncation + splitline tag
+  // (`lc-lib/harvester/linereader.go:76-149`, docs/Events.md:16-25)
+  // ---------------------------------------------------------------
+  def qMaxLine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val (truncated, wasTruncated) = EventFns.maxLineBytes(col("text"), 300)
+    docs.select(
+        col("doc_id"),
+        octet_length(truncated).cast("long").as("kept_bytes"),
+        wasTruncated.as("split"),
+        when(wasTruncated, EventFns.addTag(array().cast("array<string>"), lit("splitline")))
+          .otherwise(array().cast("array<string>")).as("tags"))
+      .select(col("doc_id"), col("kept_bytes"), col("split"),
+        array_join(col("tags"), ",").as("tags"))
+      .orderBy("doc_id")
+  }
+  val qMaxLineSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(CASE WHEN octet_length(encode(text)) > 300
+      |    THEN substring(text, 1, 300) ELSE text END)) AS kept_bytes,
+      |  octet_length(encode(text)) > 300 AS split,
+      |  CASE WHEN octet_length(encode(text)) > 300 THEN 'splitline' ELSE '' END AS tags
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // §2.11 — implicit source union (multiple `files` entries /
+  // receivers are a source union, prospector.go:147): two differently
+  // filtered slices re-united with unionByName, deduplicated
+  // ---------------------------------------------------------------
+  def qSourceUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val srcA = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), lit("stream_a").as("src"))
+    val srcB = ev.filter(col("value") > 150)
+      .select(col("user_id"), col("event_id"), lit("stream_b").as("src")) // reordered cols
+    srcA.unionByName(srcB)
+      .groupBy("event_id").agg(count(lit(1)).as("n_sources"))
+      .groupBy("n_sources").agg(count(lit(1)).as("n_events"))
+      .orderBy("n_sources")
+  }
+  val qSourceUnionSql: String =
+    """SELECT n_sources, count(*) AS n_events FROM (
+      |  SELECT event_id, count(*) AS n_sources FROM (
+      |    SELECT event_id FROM events WHERE event_type = 'error'
+      |    UNION ALL
+      |    SELECT event_id FROM events WHERE value > 150)
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY n_sources""".stripMargin
+
+  // ---------------------------------------------------------------
   // §2.6 — CEL conditional compiled to Columns
   // ---------------------------------------------------------------
   def qCelPredicate(spark: SparkSession, dir: String): DataFrame = {

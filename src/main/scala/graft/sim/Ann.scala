@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,7 +17,7 @@ import graft.dedup.Hashes
   * the conventional dot/(|a|·|b|) with sequential accumulation.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
   override val dataType: DataType = DoubleType
@@ -36,6 +36,13 @@ case class CosineSim(left: Expression, right: Expression)
     if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+  def compute(a: Any, b: Any): Double = nullSafeEval(a, b).asInstanceOf[Double]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }

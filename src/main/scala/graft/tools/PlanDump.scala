@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "false") // show static codegen stages
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"########## $name")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }
+    dump("flagship", graft.TranscriptPipeline.run(s, s.read.parquet("/tmp/graft_bench_warm")))
+    dump("q_enrich_join", graft.queries.Queries.qEnrichJoin(s, dir))
+    dump("q_multiline", graft.queries.Queries.qMultiline(s, dir))
+    dump("q_dedup_pairs", graft.queries.QueriesML.qDedupPairs(s, dir))
+    dump("q_ann_cosine", graft.queries.QueriesML.qAnnCosine(s, dir))
+    dump("q_filter_codec", graft.queries.Queries.qFilterCodec(s, dir))
+    s.stop()
+  }
+}

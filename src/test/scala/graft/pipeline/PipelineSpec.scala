@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.model.Envelope
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def base = Seq(
+    ("c1", 0, "user", "level=error code=7", "none",
+      new java.sql.Timestamp(1767225600000L)),
+    ("c1", 1, "assistant", """{"status":"ok","n":3}""", "search",
+      new java.sql.Timestamp(1767225601000L)),
+    ("c2", 0, "system", "plain text", "none",
+      new java.sql.Timestamp(1767225602000L))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("set_field via CEL and unset_field") {
+    val out = Pipeline(base, Seq(
+      SetFieldStage("note", """event.role + "-" + event.tool"""),
+      SetFieldStage("gone", "\"x\""),
+      UnsetFieldStage("gone")))
+    val rows = out.select(element_at(col(Envelope.FieldsCol), "note"),
+        map_contains_key(col(Envelope.FieldsCol), "gone"))
+      .collect()
+    assert(rows.forall(!_.getBoolean(1)))
+    assert(rows.map(_.getString(0)).toSet == Set("user-none", "assistant-search", "system-none"))
+  }
+
+  test("set @timestamp path updates event_ts") {
+    val out = Pipeline(base, Seq(SetFieldStage("@timestamp", "\"2027-01-01T00:00:00Z\"")))
+    val ts = out.select(col(Envelope.EventTsCol).cast("string")).as[String].collect()
+    assert(ts.forall(_.startsWith("2027-01-01")))
+  }
+
+  test("conditional if/elseif/else with guarded kv+json actions") {
+    val out = Pipeline(base, Seq(
+      ConditionalStage(
+        branches = Seq(
+          ("""event.text.contains("=")""", Seq(KvStage("text"), AddTagStage("kv"))),
+          ("""event.text.startsWith("{")""", Seq(JsonStage("text"), AddTagStage("json")))
+        ),
+        otherwiseStages = Seq(AddTagStage("plain")))))
+    val got = out.select(col("conv_id"), col("turn_idx"),
+        array_join(col(Envelope.TagsCol), ","),
+        element_at(col(Envelope.FieldsCol), "level"),
+        element_at(col(Envelope.FieldsCol), "status"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(got(("c1", 0)) == (("kv", "error", null)))
+    assert(got(("c1", 1)) == (("json", null, "ok")))
+    assert(got(("c2", 0)) == (("plain", null, null)))
+  }
+
+  test("filter stage drops non-matching rows") {
+    // note: a LEADING '=' would be the literal-escape prefix
+    // (patterncollection.go:52-55), so match on 'level=' instead
+    val out = Pipeline(base, Seq(FilterStage(Seq("level=", "\\{"), "any")))
+    assert(out.count() == 2)
+  }
+
+  test("grok remove unsets source field representation (kv path syntax)") {
+    val df = Seq(("c", 0, "u", "x", "none", new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Pipeline(df, Seq(
+      SetFieldStage("a[b]", "\"v\"")))
+    val m = out.select(element_at(col(Envelope.FieldsCol), "a.b")).collect()(0)
+    assert(m.getString(0) == "v") // a[b] path normalised to a.b
+  }
+
+  test("CEL json.encode / json.decode extension") {
+    val out = Pipeline(base, Seq(
+      JsonStage("text"),
+      SetFieldStage("reenc", "json.encode(event.tags)")))
+    val enc = out.filter(col("turn_idx") === 1 && col("conv_id") === "c1")
+      .select(element_at(col(Envelope.FieldsCol), "reenc")).collect()(0).getString(0)
+    assert(enc == "[]") // tags empty at that point; encoded as JSON array
+  }
+}

@@ -1,0 +1,66 @@
+package graft.route
+
+import graft.SparkTestBase
+import graft.enrich.Enrich
+import org.apache.spark.sql.functions._
+
+class RouterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("c1", 0, "user", "hello", "none", new java.sql.Timestamp(1767225600000L)),
+    ("c1", 1, "tool", "result", "search", new java.sql.Timestamp(1767225601000L)),
+    ("c2", 0, "system", "boot", "none", new java.sql.Timestamp(1767225602000L))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("first-match assignment with residual default") {
+    val assigned = Router.assign(df, Seq(
+      Sink("tools", col("tool") =!= "none"),
+      Sink("sys", col("role") === "system")
+    ), "main")
+    val got = assigned.select("conv_id", "turn_idx", Router.SinkCol)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == Map(("c1", 0) -> "main", ("c1", 1) -> "tools", ("c2", 0) -> "sys"))
+  }
+
+  test("null predicate treated as no-match") {
+    val assigned = Router.assign(df,
+      Seq(Sink("x", lit(null).cast("boolean"))), "main")
+    assert(assigned.select(Router.SinkCol).as[String].collect().forall(_ == "main"))
+  }
+
+  test("stripMeta drops @metadata-style columns before write (event.go:346-354)") {
+    val withMeta = df.withColumn("_meta_receiver", lit("tcp"))
+      .withColumn("_meta", lit("x"))
+    val out = Router.stripMeta(withMeta)
+    assert(!out.columns.exists(_.startsWith("_meta")))
+    assert(out.columns.contains("text"))
+  }
+
+  test("doris-shaped projection: mapped fields + rest json (streamloadrequest.go:66-112)") {
+    val withFields = df.withColumn("fields",
+      map(lit("a"), lit("1"), lit("b"), lit("2"), lit("c"), lit("3")))
+    val out = Router.dorisProjection(withFields, Seq("a", "c"))
+    val row = out.filter(col("turn_idx") === 0 && col("conv_id") === "c1")
+      .select("a", "c", "rest").collect()(0)
+    assert(row.getString(0) == "1" && row.getString(1) == "3")
+    assert(row.getString(2) == """{"b":"2"}""")
+  }
+
+  test("ES index pattern column (transportesfactory.go:37)") {
+    val env = graft.pipeline.Pipeline.withEnvelope(df)
+    val idx = Router.indexColumn(env, "logstash-%{+2006-01-02}")
+    val got = env.select(idx).as[String].collect().toSet
+    assert(got == Set("logstash-2026-01-01"))
+  }
+
+  test("geoip-shaped struct-target enrich (actiongeoip.go:139-167)") {
+    val enriched = Enrich.withLookupStruct(df, Enrich.toolLookup(spark), Seq("tool"), "tool_info")
+    val r = enriched.filter(col("tool") === "search")
+      .select(col("tool_info.sink_hint"), col("tool_info.cost_class")).collect()(0)
+    assert(r.getString(0) == "sink_tools" && r.getString(1) == "cheap")
+    // static decoration fields
+    val dec = Enrich.withStaticFields(df, Map("dc" -> "eu-1", "env" -> "prod"))
+    assert(dec.select("dc", "env").distinct().collect()(0).toSeq == Seq("eu-1", "prod"))
+  }
+}
