@@ -32,6 +32,11 @@ final case class GrokField(name: String, group: String, hint: GrokHint)
 final case class CompiledGrok(regex: String, fields: Seq[GrokField]) {
   @transient lazy val pattern: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(regex)
+  // Matcher allocates working arrays; reuse one per thread (reset() is
+  // the documented reuse path) — measurable on multi-million-row scans
+  @transient private lazy val matcherTL: ThreadLocal[java.util.regex.Matcher] =
+    ThreadLocal.withInitial(() => pattern.matcher(""))
+  def matcher(s: CharSequence): java.util.regex.Matcher = matcherTL.get().reset(s)
 }
 
 /** Grok pattern compiler.

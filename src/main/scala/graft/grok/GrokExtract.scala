@@ -41,7 +41,7 @@ case class GrokExtract(child: Expression, compiled: CompiledGrok)
 
   private def evalRaw(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val m = compiled.pattern.matcher(s)
+    val m = compiled.matcher(s)
     if (!m.find()) return null
     val values = new Array[Any](fieldArr.length)
     var i = 0
@@ -100,7 +100,7 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
 
   private def evalRaw(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val m = compiled.pattern.matcher(s)
+    val m = compiled.matcher(s)
     if (!m.find()) return null
     val keys = new scala.collection.mutable.ArrayBuffer[Any](fieldArr.length)
     val vals = new scala.collection.mutable.ArrayBuffer[Any](fieldArr.length)

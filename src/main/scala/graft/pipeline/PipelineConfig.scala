@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import graft.functions.JsonFlatten
+import graft.grok.Grok
+
+/** Config-driven pipeline construction — the Log Carver `pipelines`
+  * section (`lc-lib/processor/config.go:66-150`: a list of actions and
+  * `if / else if / else` blocks) accepted as JSON (the reference parses
+  * YAML/JSON into the same structures; this container ships Jackson's
+  * JSON codec only). Example, mirroring the canonical nginx pipeline in
+  * `testing/log-carver.yaml`:
+  *
+  * {{{
+  * [
+  *   {"if": "event.text.matches(\"^\\\\d\")",
+  *    "then": [
+  *      {"grok": {"field": "text", "patterns": ["^%{IPV4:client} ..."]}},
+  *      {"date": {"field": "timestamp", "formats": ["02/Jan/2006:15:04:05 -0700"]}},
+  *      {"add_tag": {"tag": "nginx"}}],
+  *    "else if": [{"if": "...", "then": [...]}],
+  *    "else": [{"add_tag": {"tag": "plain"}}]},
+  *   {"set_field": {"field": "note", "value": "event.role"}}
+  * ]
+  * }}}
+  */
+object PipelineConfig {
+
+  def fromJson(json: String, grok: Grok = Grok.default): Seq[Stage] = {
+    val root = JsonFlatten.mapper.readTree(json)
+    require(root.isArray, "pipeline config must be a JSON array of stages")
+    parseStages(root, grok)
+  }
+
+  private def parseStages(arr: JsonNode, grok: Grok): Seq[Stage] = {
+    import scala.jdk.CollectionConverters._
+    arr.elements().asScala.map(parseStage(_, grok)).toSeq
+  }
+
+  private def strings(n: JsonNode): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    n.elements().asScala.map(_.asText()).toSeq
+  }
+
+  private def parseStage(node: JsonNode, grok: Grok): Stage = {
+    require(node.isObject, s"stage must be an object: $node")
+    if (node.has("if")) {
+      val branches = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Stage])]
+      branches += node.get("if").asText() -> parseStages(node.get("then"), grok)
+      if (node.has("else if")) {
+        import scala.jdk.CollectionConverters._
+        for (b <- node.get("else if").elements().asScala)
+          branches += b.get("if").asText() -> parseStages(b.get("then"), grok)
+      }
+      val otherwise =
+        if (node.has("else")) parseStages(node.get("else"), grok) else Seq.empty
+      return ConditionalStage(branches.toSeq, otherwise)
+    }
+    val name = node.fieldNames().next()
+    val cfg = node.get(name)
+    def str(f: String, default: String = null): String =
+      if (cfg.has(f)) cfg.get(f).asText() else default
+    def bool(f: String): Boolean = cfg.has(f) && cfg.get(f).asBoolean()
+    name match {
+      case "grok" =>
+        val localPatterns =
+          if (cfg.has("local patterns")) {
+            import scala.jdk.CollectionConverters._
+            cfg.get("local patterns").properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          } else Map.empty[String, String]
+        GrokStage(str("field"), strings(cfg.get("patterns")), bool("remove"),
+          localPatterns, grok)
+      case "date" => DateStage(str("field"), strings(cfg.get("formats")), bool("remove"))
+      case "json" => JsonStage(str("field"), bool("remove"))
+      case "kv" => KvStage(str("field"), str("prefix", ""))
+      case "set_field" => SetFieldStage(str("field"), str("value"))
+      case "unset_field" => UnsetFieldStage(str("field"))
+      case "add_tag" => AddTagStage(str("tag"))
+      case "remove_tag" => RemoveTagStage(str("tag"))
+      case "filter" => FilterStage(strings(cfg.get("patterns")),
+        str("match", "any"), str("field", "text"))
+      case other => throw new IllegalArgumentException(s"unknown action: $other")
+    }
+  }
+}

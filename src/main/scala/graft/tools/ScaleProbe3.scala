@@ -16,23 +16,30 @@ object ScaleProbe3 {
       if (!Files.exists(Paths.get(in + "/_SUCCESS")))
         graft.model.TranscriptGen.generate(s, 42L, 150000L, 128).write.mode("overwrite").parquet(in)
       @volatile var jobStart = 0L; @volatile var jobEnd = 0L; @volatile var taskSec = 0.0
+      @volatile var gcSec = 0.0; @volatile var cpuSec = 0.0
       s.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(j: SparkListenerJobStart): Unit = if (jobStart == 0) jobStart = j.time
         override def onJobEnd(j: SparkListenerJobEnd): Unit = jobEnd = j.time
         override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-          if (t.taskInfo != null) taskSec += (t.taskInfo.finishTime - t.taskInfo.launchTime)/1e3
+          if (t.taskInfo != null) {
+            taskSec += (t.taskInfo.finishTime - t.taskInfo.launchTime)/1e3
+            if (t.taskMetrics != null) {
+              gcSec += t.taskMetrics.jvmGCTime/1e3
+              cpuSec += t.taskMetrics.executorCpuTime/1e9
+            }
+          }
       })
       // warm
       Router.write(TranscriptPipeline.run(s, s.read.parquet(in)), "/tmp/sp3_out")
       for (i <- 1 to 2) {
         deleteRec(Paths.get("/tmp/sp3_out"))
-        jobStart = 0; jobEnd = 0; taskSec = 0
+        jobStart = 0; jobEnd = 0; taskSec = 0; gcSec = 0; cpuSec = 0
         val t0 = System.nanoTime()
         Router.write(TranscriptPipeline.run(s, s.read.parquet(in)), "/tmp/sp3_out")
         val total = (System.nanoTime()-t0)/1e9
         org.apache.spark.graftbridge.CoreBridge.waitListenerBusEmpty(s.sparkContext)
         val jobDur = (jobEnd - jobStart)/1e3
-        println(f"PROBE3 cores=$cores run$i total=$total%.2f job=$jobDur%.2f driverOverhead=${total-jobDur}%.2f taskCpuSum=$taskSec%.1f")
+        println(f"PROBE3 cores=$cores run$i total=$total%.2f job=$jobDur%.2f taskWallSum=$taskSec%.1f taskCpuSum=$cpuSec%.1f gcSum=$gcSec%.1f")
       }
       s.stop()
     }

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.model.Envelope
+import graft.route.EndpointSet
+import org.apache.spark.sql.functions._
+
+class PipelineConfigSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("JSON pipeline config compiles to the same stages as code") {
+    val config =
+      """[
+        |  {"if": "event.text.matches(\"^\\\\d{1,3}\\\\.\")",
+        |   "then": [
+        |     {"grok": {"field": "text", "patterns": ["^%{IPV4:client} - %{USER:user} \\[%{HTTPDATE:timestamp}\\] \"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}\" %{NUMBER:response:int} %{NUMBER:bytes:int} \"%{DATA:referrer}\" \"%{DATA:agent}\" %{NUMBER:requesttime:float}"]}},
+        |     {"add_tag": {"tag": "nginx"}}],
+        |   "else if": [
+        |     {"if": "event.text.matches(\"^[a-z]+=\")",
+        |      "then": [{"kv": {"field": "text"}}, {"add_tag": {"tag": "kv"}}]}],
+        |   "else": [{"add_tag": {"tag": "plain"}}]},
+        |  {"set_field": {"field": "origin", "value": "\"carver\""}}
+        |]""".stripMargin
+    val stages = PipelineConfig.fromJson(config)
+    assert(stages.length == 2)
+
+    val df = Seq(
+      ("c1", 0, "user", graft.model.TranscriptGen.nginxLine(42, 1, 2), "none",
+        new java.sql.Timestamp(0L)),
+      ("c1", 1, "user", "alpha=5 beta=6", "none", new java.sql.Timestamp(0L)),
+      ("c1", 2, "user", "just text", "none", new java.sql.Timestamp(0L))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val out = Pipeline(df, stages)
+    val rows = out
+      .select(col("turn_idx"), array_join(col(Envelope.TagsCol), ","),
+        element_at(col(Envelope.FieldsCol), "client"),
+        element_at(col(Envelope.FieldsCol), "alpha"),
+        element_at(col(Envelope.FieldsCol), "origin"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(rows(0)._1 == "nginx" && rows(0)._2 != null && rows(0)._4 == "carver")
+    assert(rows(1)._1 == "kv" && rows(1)._3 == "5")
+    assert(rows(2)._1 == "plain")
+  }
+
+  test("unknown action rejected") {
+    intercept[IllegalArgumentException](
+      PipelineConfig.fromJson("""[{"explode": {}}]"""))
+  }
+
+  test("endpoint policies: failover / loadbalance / random") {
+    val eps = Seq("es-1", "es-2", "es-3")
+    val fo = EndpointSet(eps, "failover")
+    assert(fo.pick(0).contains("es-1"))
+    assert(fo.pick(0, healthy = _ != "es-1").contains("es-2"))
+    assert(fo.pick(0, healthy = _ => false).isEmpty)
+
+    val lb = EndpointSet(eps, "loadbalance")
+    assert((0L to 5L).flatMap(lb.pick(_)).toSet == eps.toSet)
+
+    val rnd = EndpointSet(eps, "random")
+    val first = rnd.pick(0).get
+    assert(rnd.pick(99).contains(first)) // sticky across batches
+    val after = rnd.pick(0, healthy = _ != first).get
+    assert(after != first) // re-pick on failure
+  }
+}
