@@ -73,11 +73,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // ~13.2 turns/conv → sf0.1 ≈ 8M turns: big enough that the ~1s fixed
+    // ~13.2 turns/conv → sf0.1 ≈ 4M turns: big enough that the ~1s fixed
     // job cost (submit, listing, commit) amortises — at toy sizes it
     // dominates the N->4N ratio, at the real 10^12-turn target it is
     // irrelevant, so measuring steady-state requires a non-toy batch
-    val nConvs = math.max((sf * 6e6).toLong, 2000L)
+    val nConvs = math.max((sf * 3e6).toLong, 2000L)
     val inputDir = s"/tmp/graft_bench_input_v2_$nConvs"
     val outDir = "/tmp/graft_bench_out"
     val warmDir = "/tmp/graft_bench_warm"
@@ -129,8 +129,8 @@ object Bench {
     var n8 = 0L; var sec8 = Double.MaxValue
     var n2 = 0L; var sec2 = Double.MaxValue
     for (_ <- 1 to 3) {
-      val (a, s8) = measure(8, 2); n8 = a; sec8 = math.min(sec8, s8)
-      val (b, s2) = measure(2, 2); n2 = b; sec2 = math.min(sec2, s2)
+      val (a, s8) = measure(8, 1); n8 = a; sec8 = math.min(sec8, s8)
+      val (b, s2) = measure(2, 1); n2 = b; sec2 = math.min(sec2, s2)
     }
     require(n32 == n8 && n8 == n2, s"row count mismatch: $n32/$n8/$n2")
     val thr32 = n32 / sec32

@@ -28,8 +28,8 @@ case class JsonFlatten(child: Expression) extends UnaryExpression {
     EvalMemo.memo(JsonFlatten, input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val node = try JsonFlatten.mapper.readTree(s) catch { case _: Exception => null }
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val node = try JsonFlatten.mapper.readTree(bytes) catch { case _: Exception => null }
     if (node == null || !node.isObject) return null
     val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
     val vals = scala.collection.mutable.ArrayBuffer.empty[Any]

@@ -35,7 +35,7 @@ case class KvParse(child: Expression) extends UnaryExpression {
     EvalMemo.memo(KvParse, input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = Utf8Ascii.charSeq(input.asInstanceOf[UTF8String])
     KvParse.parse(s) match {
       case null => null
       case pairs =>
@@ -101,7 +101,7 @@ object KvParse {
   /** Pure parser: ordered (key, value) pairs, or null on malformed input.
     * Duplicate keys: last occurrence wins when materialised as a map.
     */
-  def parse(s: String): Array[(String, String)] = {
+  def parse(s: CharSequence): Array[(String, String)] = {
     val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
     var state = Name
     var name: String = null
@@ -123,14 +123,14 @@ object KvParse {
           if (ch == '=') return null // key with no name
           state = NameRaw; nameStart = idx
         case NameRaw =>
-          if (ch == '=') { state = Value; name = s.substring(nameStart, idx) }
+          if (ch == '=') { state = Value; name = s.subSequence(nameStart, idx).toString }
         case Value =>
           if (ch == '"' || ch == '\'') { state = ValueQuoted; valueStart = idx + 1; quote = ch }
           else { state = ValueRaw; valueStart = idx }
         case ValueRaw =>
-          if (ch == ' ') { out += ((stripBrackets(name), s.substring(valueStart, idx))); state = Name }
+          if (ch == ' ') { out += ((stripBrackets(name), s.subSequence(valueStart, idx).toString)); state = Name }
         case ValueQuoted =>
-          if (ch == quote) { out += ((stripBrackets(name), s.substring(valueStart, idx))); state = ValueQuotedEnd }
+          if (ch == quote) { out += ((stripBrackets(name), s.subSequence(valueStart, idx).toString)); state = ValueQuotedEnd }
           else if (ch == '\\') state = ValueQuotedEsc
         case ValueQuotedEsc =>
           state = ValueQuoted
@@ -141,7 +141,7 @@ object KvParse {
       idx += 1
     }
     state match {
-      case ValueRaw => out += ((stripBrackets(name), s.substring(valueStart)))
+      case ValueRaw => out += ((stripBrackets(name), s.subSequence(valueStart, n).toString))
       case ValueQuotedEnd | Name => ()
       case _ => return null // unexpected end of field
     }

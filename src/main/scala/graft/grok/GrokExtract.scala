@@ -40,7 +40,7 @@ case class GrokExtract(child: Expression, compiled: CompiledGrok)
     graft.functions.EvalMemo.memo(("gx", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = graft.functions.Utf8Ascii.charSeq(input.asInstanceOf[UTF8String])
     val m = compiled.matcher(s)
     if (!m.find()) return null
     val values = new Array[Any](fieldArr.length)
@@ -99,7 +99,7 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
     graft.functions.EvalMemo.memo(("gxm", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
 
   private def evalRaw(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s = graft.functions.Utf8Ascii.charSeq(input.asInstanceOf[UTF8String])
     val m = compiled.matcher(s)
     if (!m.find()) return null
     val keys = new scala.collection.mutable.ArrayBuffer[Any](fieldArr.length)
