@@ -39,6 +39,33 @@ class StreamingSpec extends SparkTestBase {
     assert(sTexts == bTexts)
   }
 
+  test("checkpoint resume: restarted stream processes only new files (registrar analog)") {
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
+    val all = TranscriptGen.generate(spark, seed = 33L, nConvs = 20L, parallelism = 2).toDF()
+    val first = all.filter(col("conv_id") < TranscriptGen.convId(10))
+    val second = all.filter(col("conv_id") >= TranscriptGen.convId(10))
+
+    first.write.mode("append").parquet(in)
+    StreamingPipeline.run(spark, in, ckpt, out, maxFilesPerTrigger = 1)
+      .awaitTermination(120000)
+    val batchesAfterFirst = new java.io.File(out).list().count(_.startsWith("batch="))
+
+    // "rotation": more files arrive; restart from the same checkpoint
+    second.write.mode("append").parquet(in)
+    StreamingPipeline.run(spark, in, ckpt, out, maxFilesPerTrigger = 1)
+      .awaitTermination(120000)
+
+    val streamed = spark.read.option("basePath", out).parquet(s"$out/batch=*")
+    assert(streamed.count() == all.count(), "no loss, no duplication across restart")
+    assert(new java.io.File(out).list().count(_.startsWith("batch=")) > batchesAfterFirst)
+    val sTexts = streamed.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    val aTexts = all.select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(sTexts == aTexts)
+  }
+
   test("session_window assembly flushes on event-time gaps") {
     import spark.implicits._
     val rows = Seq(
