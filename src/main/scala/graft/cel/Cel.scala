@@ -258,14 +258,21 @@ object Cel {
             else lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
-          case "/" => lc / rc
-          case "%" => lc % rc
+          // CEL eval errors make the branch false, never fatal
+          // (`ast.go:111-118`); under Spark 4's default ANSI mode a plain
+          // `/` or `%` raises DIVIDE_BY_ZERO — try_divide/try_mod return
+          // null, which the null-safe guards treat as false.
+          case "/" => try_divide(lc, rc)
+          case "%" => try_mod(lc, rc)
           case other => throw new IllegalArgumentException(s"bad binary op $other")
         }
       case Ternary(c, t, f) => when(go(c), go(t)).otherwise(go(f))
       case Call("has", List(arg)) => go(arg).isNotNull
-      case Call("int", List(arg)) => go(arg).cast("long")
-      case Call("double", List(arg)) => go(arg).cast("double")
+      // try_cast, not cast: ANSI-mode cast of a malformed string throws
+      // CAST_INVALID_INPUT and kills the job; the reference's CEL eval
+      // error just falsifies the branch (`ast.go:111-118`).
+      case Call("int", List(arg)) => go(arg).try_cast("long")
+      case Call("double", List(arg)) => go(arg).try_cast("double")
       case Call("string", List(arg)) => go(arg).cast("string")
       case Call("size", List(arg)) =>
         // CEL size() on lists/maps; for string length use e.g.

@@ -41,8 +41,11 @@ object EventFns {
   def dateParse(c: Column, goFormats: Seq[String]): Column = {
     val attempts = goFormats.map {
       case "UNIX" =>
-        // float seconds since epoch; non-numeric → null
-        to_timestamp(c.cast("double").cast("timestamp"))
+        // float seconds since epoch; non-numeric / overflow → null.
+        // try_cast both hops: Spark 4 defaults ANSI mode, where a plain
+        // cast on a malformed string aborts the whole job — the reference
+        // tags `_date_failure` instead (`actiondate.go:60-95`).
+        c.try_cast("double").try_cast("timestamp")
       case layout =>
         try_to_timestamp(c, lit(GoTime.translate(layout)))
     }

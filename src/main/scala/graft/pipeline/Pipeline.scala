@@ -77,9 +77,15 @@ object Pipeline {
   /** Set `fields[key] = value` under guard; null value = no-op. */
   private[pipeline] def setField(df: DataFrame, guard: Column, key: String, value: Column): DataFrame = {
     val p = normalizePath(key)
-    if (p == "@timestamp")
+    if (p == "@timestamp") {
+      // try_cast: a non-timestamp value must not abort the job under ANSI
+      // mode — the reference's @timestamp builtin vetoes the bad set
+      // (`event.go:129-151`, `timestamp.go:34-46`) and the event keeps its
+      // previous timestamp.
+      val casted = value.try_cast("timestamp")
       df.withColumn(Envelope.EventTsCol,
-        when(guard && value.isNotNull, value.cast("timestamp")).otherwise(col(Envelope.EventTsCol)))
+        when(guard && casted.isNotNull, casted).otherwise(col(Envelope.EventTsCol)))
+    }
     else {
       val updated = mergeMaps(col(Envelope.FieldsCol), map(lit(p), value.cast("string")))
       df.withColumn(Envelope.FieldsCol,

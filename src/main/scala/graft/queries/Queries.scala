@@ -166,7 +166,7 @@ object Queries {
   }
   val qJsonActionSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
@@ -239,7 +239,7 @@ object Queries {
     """SELECT CASE WHEN event_type = 'error' THEN 'sink_errors'
       |            WHEN value > 100 THEN 'sink_big'
       |            ELSE 'sink_main' END AS sink,
-      |  count(*) AS n, sum(octet_length(CAST(props AS BLOB))) AS bytes
+      |  count(*) AS n, CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS bytes
       |FROM events GROUP BY 1 ORDER BY sink""".stripMargin
 
   // ---------------------------------------------------------------

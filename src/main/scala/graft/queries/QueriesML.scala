@@ -29,35 +29,48 @@ object QueriesML {
       .orderBy("lang")
   }
   val qDedupExactSql: String =
-    """SELECT lang, count(*) AS n_kept, sum(n) AS n_total FROM (
+    """SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS n_total FROM (
       |  SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
       |) k JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
-  // N-gram Jaccard near-dup pairs — exact, via inverted-index join
+  // N-gram Jaccard near-dup pairs — exact, via inverted-index join,
+  // with the stop-shingle cap ON (a shingle appearing in > maxDf docs
+  // is removed by broadcast anti-join before the self-join — the skew
+  // guard that keeps a hot shingle from exploding the join at scale).
+  // The oracle mirrors the identical df-filter: intersections counted
+  // over kept shingles only, sizes from the full shingle sets.
   // ---------------------------------------------------------------
+  val DedupPairsMaxDf = 20L
   def qDedupPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(tbl(spark, dir, "documents"), "doc_id", "text",
-        threshold = 0.8, n = 3)
+        threshold = 0.8, n = 3, maxDf = DedupPairsMaxDf)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b")
-  val qDedupPairsSql: String = jaccardPairsSql(0.8)
+  val qDedupPairsSql: String = jaccardPairsSql(0.8, maxDf = DedupPairsMaxDf)
 
-  private def jaccardPairsSql(threshold: Double): String =
+  private def jaccardPairsSql(threshold: Double, maxDf: Long = Long.MaxValue): String = {
+    val keptCte =
+      if (maxDf == Long.MaxValue) "kept AS (SELECT * FROM sh),"
+      else
+        s"""hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $maxDf),
+           |kept AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),""".stripMargin
     s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
        |    range(1, greatest(len(ws) - 1, 1)),
        |    i -> array_to_string(ws[i:i+2], ' '))) AS s
        |  FROM words WHERE len(ws) >= 3),
+       |$keptCte
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE c::DOUBLE / (sa.n + sb.n - c) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // MinHash + LSH near-dup pairs (banded bucket join + exact verify);
@@ -93,24 +106,50 @@ object QueriesML {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
-  // Embedding near-dup pairs above a cosine threshold (brute force
-  // exact; LSH-bucketed variant in Ann.lshNearDupPairs)
+  // Embedding near-dup pairs via LSH buckets + exact verification —
+  // the scale path (bucket equi-join, never an all-pairs cartesian).
+  //
+  // Corpus: `embeddings` unioned with deterministically re-scaled
+  // copies of every 5th vector (the classic un-normalised-duplicate
+  // dedup scenario: the same content embedded twice at different
+  // norms has cosine exactly 1). Threshold 0.99 — true near-dup
+  // territory, where sign-bit LSH recall is *provable*: a positively
+  // scaled vector has identical hyperplane sign bits, so every dup
+  // pair lands in the same bucket by construction; background pairs
+  // (max cosine ≈ 0.51 in this corpus) are filtered by the exact
+  // CosineSim verification of candidates only. The oracle is the
+  // exact brute-force SQL over the same derived corpus.
+  //
+  // (The previous brute-force query at threshold 0.45 verified a
+  // BroadcastNestedLoopJoin; at cosine 0.45 — a ~63° angle — LSH is
+  // information-theoretically no better than a linear scan, so the
+  // honest scale demo is a high-threshold dedup corpus, not a low
+  // threshold over background pairs.)
   // ---------------------------------------------------------------
-  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  private val EmbedCopyIdOffset = 100000L
+  def embedDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", graft.sim.CosineSim(col("a.v"), col("b.v")))
-      .filter(col("sim") >= 0.45)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("sim"), 4).as("sim"))
-      .orderBy("id_a", "id_b")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val copies = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + EmbedCopyIdOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
+    emb.unionByName(copies)
   }
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Ann.lshNearDupPairs(embedDedupCorpus(spark, dir), threshold = 0.99, dim = 64,
+        nbits = 8)
+      .orderBy("id_a", "id_b")
   val qEmbedNearDupSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + $EmbedCopyIdOffset,
+      |    list_transform(embedding::DOUBLE[], x -> x * 1.5)
+      |  FROM embeddings WHERE vec_id % 5 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS sim
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------

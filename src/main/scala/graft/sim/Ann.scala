@@ -53,6 +53,62 @@ object CosineSim {
       EU.expression(b.cast("array<double>"))))
 }
 
+/** Random-hyperplane LSH bucket id as ONE fused expression: `nbits` sign
+  * bits of dot products with `nbits × dim` deterministic pseudo-random
+  * hyperplane components, precomputed once at plan build. The naive
+  * Column spelling (`nbits × dim` `element_at` nodes summed) generates a
+  * multi-hundred-node tree that blows up codegen and planning; this is a
+  * single tight loop per row.
+  */
+case class LshBucketBits(child: Expression, dim: Int, nbits: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+  override val dataType: DataType = LongType
+
+  // hyperplane component matrix h(b, i) from splitmix64 → [-1, 1)
+  @transient private lazy val planes: Array[Double] = {
+    val a = new Array[Double](nbits * dim)
+    var b = 0
+    while (b < nbits) {
+      var i = 0
+      while (i < dim) {
+        a(b * dim + i) = Hashes.mix64(seed ^ (b.toLong << 32) ^ i.toLong).toDouble /
+          Long.MaxValue.toDouble
+        i += 1
+      }
+      b += 1
+    }
+    a
+  }
+
+  override def nullSafeEval(v: Any): Any = java.lang.Long.valueOf(compute(v))
+
+  def compute(v: Any): Long = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    var bucket = 0L
+    var b = 0
+    while (b < nbits) {
+      var dot = 0.0
+      val off = b * dim
+      var i = 0
+      while (i < n) { dot += arr.getDouble(i) * planes(off + i); i += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucket", this, classOf[LshBucketBits].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucketBits =
+    copy(child = c)
+}
+
 /** Similarity search over an embedding column.
   *
   * Baseline: brute-force top-k — broadcast the (small) query set against
@@ -83,19 +139,10 @@ object Ann {
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded, no stored
     * model). Vectors in the same bucket are high-cosine candidates.
+    * One fused codegen'd loop per row ([[LshBucketBits]]).
     */
-  def lshBuckets(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column = {
-    // hyperplane component h(b, i) derived from splitmix64 → [-1, 1)
-    def comp(b: Int, i: Int): Double =
-      (Hashes.mix64(seed ^ (b.toLong << 32) ^ i.toLong).toDouble /
-        Long.MaxValue.toDouble)
-    val bits = (0 until nbits).map { b =>
-      val dot = (0 until dim).map(i => element_at(vec, i + 1) * lit(comp(b, i)))
-        .reduce(_ + _)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBuckets(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
+    EU.column(LshBucketBits(EU.expression(vec.cast("array<double>")), dim, nbits, seed))
 
   /** Embedding near-dup pairs above a cosine threshold via LSH buckets +
     * exact verification (deterministic; recall bounded by bucket

@@ -77,4 +77,20 @@ class CelSpec extends SparkTestBase {
     // comparing a missing field yields null, coalesced to false
     assert(evalBool("event.missing == \"x\"") == Seq(false, false))
   }
+
+  test("int()/double() on a non-numeric string is an eval error → branch false, not fatal") {
+    // Spark 4 defaults ANSI mode: a plain cast would throw
+    // CAST_INVALID_INPUT on 'ERROR something bad'; the reference's CEL
+    // eval error falsifies the branch (ast.go:111-118).
+    assert(evalBool("int(event.message) > 0") == Seq(false, false))
+    assert(evalBool("double(event.message) > 0.0") == Seq(false, false))
+  }
+
+  test("division and modulo by zero are eval errors → branch false, not fatal") {
+    assert(evalBool("event.num / (event.num - event.num) > 0") == Seq(false, false))
+    assert(evalBool("event.num % (event.num - event.num) == 0") == Seq(false, false))
+    // sane divisions still work
+    assert(evalBool("event.num / 2 > 10") == Seq(true, false))
+    assert(evalBool("event.num % 2 == 0") == Seq(true, false))
+  }
 }

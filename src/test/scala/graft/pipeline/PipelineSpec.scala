@@ -34,6 +34,32 @@ class PipelineSpec extends SparkTestBase {
     assert(ts.forall(_.startsWith("2027-01-01")))
   }
 
+  test("DateStage UNIX format on non-numeric input tags _date_failure instead of aborting (ANSI)") {
+    // under Spark 4's default ANSI mode an unguarded cast('…' as double)
+    // would kill the job on the first malformed row (actiondate.go:60-95
+    // tags the event instead)
+    val out = Pipeline(base, Seq(DateStage("text", Seq("UNIX"))))
+    val rows = out.select(array_join(col(Envelope.TagsCol), ","),
+        col(Envelope.EventTsCol).cast("string"), col("ts").cast("string"))
+      .collect()
+    assert(rows.forall(_.getString(0) == "_date_failure"))
+    assert(rows.forall(r => r.getString(1) == r.getString(2))) // event_ts untouched
+  }
+
+  test("DateStage UNIX parses float-second strings") {
+    val df = Seq(("c", 0, "u", "1767225600.5", "none", new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Pipeline(df, Seq(DateStage("text", Seq("UNIX"))))
+    val ts = out.select(col(Envelope.EventTsCol).cast("string")).as[String].collect()(0)
+    assert(ts == "2026-01-01 00:00:00.5")
+  }
+
+  test("set_field @timestamp with a non-timestamp value keeps the previous timestamp (ANSI-safe)") {
+    val out = Pipeline(base, Seq(SetFieldStage("@timestamp", "event.role")))
+    val rows = out.select(col(Envelope.EventTsCol).cast("string"), col("ts").cast("string")).collect()
+    assert(rows.forall(r => r.getString(0) == r.getString(1)))
+  }
+
   test("conditional if/elseif/else with guarded kv+json actions") {
     val out = Pipeline(base, Seq(
       ConditionalStage(

@@ -63,6 +63,19 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("lshNearDupPairs finds every rescaled duplicate with a bucket equi-join (no cartesian)") {
+    // a positively scaled copy has identical hyperplane sign bits, so
+    // recall on scaled-duplicate pairs is exact by construction
+    val corpus = graft.queries.QueriesML.embedDedupCorpus(spark, dir)
+    val pairs = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64, nbits = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "LSH near-dup must be a bucket equi-join, not an all-pairs plan")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = vecs.keys.filter(_ % 5 == 0).map(id => (id, id + 100000L)).toSet
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size} planted duplicates")
+  }
+
   test("CosineSim expression equals the local loop") {
     val got = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
