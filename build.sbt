@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout passes straight through (no sbt `[info]` prefix):
+// the bench contract is ONE machine-parseable JSON line on stdout, and the
+// log-prefixed spelling broke the driver's parse in round 1.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,7 +38,12 @@ object SparkEntry {
       "q_lang_id" -> (graft.queries.QueriesML.qLangId _),
       "q_text_quality" -> (graft.queries.QueriesML.qTextQuality _),
       "q_fingerprint" -> (graft.queries.QueriesML.qFingerprint _),
-      "q_multimodal" -> (graft.queries.QueriesML.qMultimodal _)
+      "q_multimodal" -> (graft.queries.QueriesML.qMultimodal _),
+      "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
+      "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
+      "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
+      "q_multiline_timeout" -> (graft.queries.QueriesR2.qMultilineTimeout _),
+      "q_doris_table" -> (graft.queries.QueriesR2.qDorisTable _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,7 +74,12 @@ object SparkEntry {
       "q_lang_id" -> graft.queries.QueriesML.qLangIdSql,
       "q_text_quality" -> graft.queries.QueriesML.qTextQualitySql,
       "q_fingerprint" -> graft.queries.QueriesML.qFingerprintSql,
-      "q_multimodal" -> graft.queries.QueriesML.qMultimodalSql
+      "q_multimodal" -> graft.queries.QueriesML.qMultimodalSql,
+      "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
+      "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
+      "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,
+      "q_multiline_timeout" -> graft.queries.QueriesR2.qMultilineTimeoutSql,
+      "q_doris_table" -> graft.queries.QueriesR2.qDorisTableSql
     )
   }
 }

@@ -23,9 +23,18 @@ final case class MultilineConfig(
     patterns: Seq[String],
     matchMode: String = "any",
     what: String = "previous",
-    maxBytes: Option[Int] = None
+    maxBytes: Option[Int] = None,
+    /** `previous timeout` in seconds (`multiline.go:281-319`): with
+      * `what = previous`, a buffered event auto-flushes when no further
+      * line arrives within the timeout. The batch analog of the deadline
+      * routine: an event-time gap larger than the timeout is a flush
+      * boundary.
+      */
+    previousTimeout: Option[Double] = None
 ) {
   require(what == "previous" || what == "next", s"unknown 'what' value: $what")
+  require(previousTimeout.isEmpty || what == "previous",
+    "'previous timeout' only applies to what=previous (multiline.go config)")
   val collection: PatternCollection = PatternCollection(patterns, matchMode)
 }
 
@@ -47,12 +56,24 @@ object Multiline {
     val w = Window.partitionBy(col(convCol)).orderBy(col(orderCol))
 
     // boundary = this row starts a new assembled event
-    val boundary = cfg.what match {
+    val patternBoundary = cfg.what match {
       case "previous" => !matched // non-matching line flushes, then starts fresh
       case "next" =>
         // new event starts after a non-matching line
         val prevMatched = lag(matched, 1).over(w)
         prevMatched.isNull || !prevMatched
+    }
+    // `previous timeout` (multiline.go:281-319): a gap since the previous
+    // line larger than the timeout means the deadline routine flushed the
+    // buffer — this line starts a new event regardless of its match
+    val boundary = cfg.previousTimeout match {
+      case None => patternBoundary
+      case Some(gapSec) =>
+        // via timestamp (not a direct double cast — TIMESTAMP_NTZ inputs
+        // reject that); session timezone is UTC everywhere in this repo
+        val sec = (c: Column) => c.cast("timestamp").cast("double")
+        val gap = sec(col(tsCol)) - sec(lag(col(tsCol), 1).over(w))
+        patternBoundary || coalesce(gap > gapSec, lit(false))
     }
 
     val grouped = df
@@ -77,15 +98,16 @@ object Multiline {
     cfg.maxBytes match {
       case None => assembled
       case Some(max) =>
-        // split the joined text every `max` chars. A trailing EMPTY chunk
-        // is intentional when the length is an exact multiple of `max`
-        // (including 0): the reference's cut loop leaves a zero-length
-        // remainder in the buffer which flushes as an empty event
-        // (`multiline.go:199-223` + `:245-248`); proven equivalent to the
-        // state machine in MultilineSpec.
-        val chunks = transform(
-          sequence(lit(0), floor(length(col("text")) / max).cast("int")),
-          i => col("text").substr(i * max + 1, lit(max)))
+        // split the joined text every `max` BYTES (the reference counts
+        // bytes, `multiline.go:199-223`; a char-based substring silently
+        // diverges on multi-byte UTF-8 — cuts back off to the last rune
+        // boundary, see Utf8ChunkBytes). A trailing EMPTY chunk is
+        // intentional when the final cut consumes exactly `max` bytes
+        // (including length 0): the reference's cut loop leaves a
+        // zero-length remainder in the buffer which flushes as an empty
+        // event (`multiline.go:245-248`); proven equivalent to the state
+        // machine port in MultilineSpec.
+        val chunks = graft.functions.Utf8ChunkBytes(col("text"), max)
         assembled
           .select(col(convCol), col("first_turn_idx"), col("last_turn_idx"),
             col("n_lines"), col("first_ts"), col("last_ts"),
@@ -96,15 +118,43 @@ object Multiline {
     }
   }
 
-  /** Row-at-a-time port of the reference state machine
-    * (`multiline.go:152-265`) — used as the test oracle only.
-    * Returns the joined texts of the flushed events, in order, including
-    * the final implicit flush (teardown).
+  /** UTF-8 byte length of a String. */
+  private def utf8Len(s: String): Long =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+
+  /** Char index of the largest rune-complete prefix of `s` whose UTF-8
+    * encoding is ≤ `maxBytes` bytes (the oracle-side mirror of
+    * [[graft.functions.ByteTrunc.safeCut]]'s back-off).
     */
-  def oracle(lines: Seq[String], cfg: MultilineConfig): Seq[String] = {
+  private def byteCut(s: String, maxBytes: Long): Int = {
+    var bytes = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val cpBytes =
+        if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      if (bytes + cpBytes > maxBytes) return i
+      bytes += cpBytes
+      i += Character.charCount(cp)
+    }
+    s.length
+  }
+
+  /** Row-at-a-time port of the reference state machine
+    * (`multiline.go:152-265` + deadline flush `:281-319`) — used as the
+    * test oracle only. Byte-accurate accounting (`multiline.go:199-223`
+    * counts bytes; +1 per joined newline) with the documented rune-safe
+    * back-off divergence. Returns the joined texts of the flushed events,
+    * in order, including the final implicit flush (teardown).
+    */
+  def oracle(lines: Seq[String], cfg: MultilineConfig): Seq[String] =
+    oracleTimed(lines.map((_, 0.0)), cfg)
+
+  def oracleTimed(lines: Seq[(String, Double)], cfg: MultilineConfig): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var buffer = scala.collection.mutable.ArrayBuffer.empty[String]
-    var bufferLen = 0L
+    var bufferLen = 0L // bytes
+    var lastTs = Double.NaN
     def flush(): Unit = {
       if (buffer.nonEmpty) {
         out += buffer.mkString("\n")
@@ -112,21 +162,32 @@ object Multiline {
         bufferLen = 0
       }
     }
-    for (line <- lines) {
+    for ((line, ts) <- lines) {
+      // deadline routine: no line within `previous timeout` → flush
+      cfg.previousTimeout.foreach { t =>
+        if (!lastTs.isNaN && ts - lastTs > t) flush()
+      }
+      lastTs = ts
       val matched = cfg.collection.matches(line)
       if (cfg.what == "previous" && !matched) flush()
       var text = line
-      var textLen = text.length.toLong
+      var textLen = utf8Len(text)
       cfg.maxBytes.foreach { max =>
         var checkLen = bufferLen + textLen + buffer.length
         while (checkLen >= max) {
           val overflow = checkLen - max
-          val cut = (textLen - overflow).toInt
-          buffer += text.substring(0, cut)
-          bufferLen += cut
+          var cutChars = byteCut(text, textLen - overflow)
+          // forced progress when one code point exceeds the budget
+          // (max < 4 pathology): take the whole rune
+          if (cutChars == 0 && text.nonEmpty)
+            cutChars = Character.charCount(text.codePointAt(0))
+          val kept = text.substring(0, cutChars)
+          val keptBytes = utf8Len(kept)
+          buffer += kept
+          bufferLen += keptBytes
           flush()
-          text = text.substring(cut)
-          textLen -= cut
+          text = text.substring(cutChars)
+          textLen -= keptBytes
           checkLen = textLen
         }
       }

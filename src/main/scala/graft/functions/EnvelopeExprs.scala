@@ -88,11 +88,15 @@ case class MapMergeLastWin(left: Expression, right: Expression)
     if (over.numElements() == 0) return base
     val bk = base.keyArray(); val bv = base.valueArray()
     val ok = over.keyArray(); val ov = over.valueArray()
+    val nBase = base.numElements()
     val nOver = over.numElements()
-    val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // exact-size preallocation (was two growing ArrayBuffers per row);
+    // trim only when a base key is shadowed, which is the rare case
+    val keys = new Array[Any](nBase + nOver)
+    val vals = new Array[Any](nBase + nOver)
+    var cnt = 0
     var i = 0
-    while (i < base.numElements()) {
+    while (i < nBase) {
       val k = bk.getUTF8String(i)
       var shadowed = false
       var j = 0
@@ -100,12 +104,15 @@ case class MapMergeLastWin(left: Expression, right: Expression)
         if (ok.getUTF8String(j).equals(k)) shadowed = true
         j += 1
       }
-      if (!shadowed) { keys += k; vals += bv.getUTF8String(i) }
+      if (!shadowed) { keys(cnt) = k; vals(cnt) = bv.getUTF8String(i); cnt += 1 }
       i += 1
     }
     var j = 0
-    while (j < nOver) { keys += ok.getUTF8String(j); vals += ov.getUTF8String(j); j += 1 }
-    ArrayBasedMapData(keys.toArray, vals.toArray)
+    while (j < nOver) { keys(cnt) = ok.getUTF8String(j); vals(cnt) = ov.getUTF8String(j); cnt += 1; j += 1 }
+    if (cnt == nBase + nOver) ArrayBasedMapData(keys, vals)
+    else ArrayBasedMapData(
+      java.util.Arrays.copyOf(keys.asInstanceOf[Array[AnyRef]], cnt),
+      java.util.Arrays.copyOf(vals.asInstanceOf[Array[AnyRef]], cnt))
   }
 
   def evalInput(a: Any, b: Any): AnyRef = nullSafeEval(a, b).asInstanceOf[AnyRef]

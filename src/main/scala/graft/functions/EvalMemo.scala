@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.array.ByteArrayMethods
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-thread single-entry memo for expensive pure parse expressions.
@@ -15,13 +17,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * of them at the cost of one byte-compare.
   *
   * Safety: the memoised functions are pure (content → value); the input
-  * key is cloned because UTF8String may point into a reused row buffer;
-  * the cached value object is safe to return repeatedly since Catalyst
-  * copies values into unsafe buffers at projection boundaries.
+  * bytes are copied into a slot-owned buffer because UTF8String may point
+  * into a reused row buffer; the cached value object is safe to return
+  * repeatedly since Catalyst copies values into unsafe buffers at
+  * projection boundaries.
+  *
+  * Allocation: the key buffer is reused across rows (grow-only), so the
+  * steady-state per-miss cost is one memcpy and zero garbage — the
+  * previous `input.clone()` spelling allocated a fresh byte[] + wrapper
+  * per row, which showed up as GC pressure on the multi-core bench legs.
   */
 object EvalMemo {
   final class Slot {
-    var key: UTF8String = _
+    var buf: Array[Byte] = new Array[Byte](64)
+    var len: Int = -1 // -1 = empty
     var value: Any = _
   }
 
@@ -35,10 +44,16 @@ object EvalMemo {
     val m = tl.get()
     var slot = m.get(tag)
     if (slot == null) { slot = new Slot; m.put(tag, slot) }
-    if (slot.key != null && slot.key.equals(input)) slot.value
+    val n = input.numBytes()
+    if (slot.len == n && ByteArrayMethods.arrayEquals(
+        input.getBaseObject, input.getBaseOffset,
+        slot.buf, Platform.BYTE_ARRAY_OFFSET, n)) slot.value
     else {
       val v = compute
-      slot.key = input.clone()
+      if (slot.buf.length < n)
+        slot.buf = new Array[Byte](math.max(n, slot.buf.length * 2))
+      input.writeToMemory(slot.buf, Platform.BYTE_ARRAY_OFFSET)
+      slot.len = n
       slot.value = v
       v
     }

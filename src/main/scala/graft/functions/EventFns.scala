@@ -96,10 +96,13 @@ object EventFns {
 
   /** Max-line truncation + `splitline`-style tagging
     * (`lc-lib/harvester/linereader.go:76-149`, `docs/Events.md:16-25`):
-    * returns (possibly truncated text, wasTruncated flag).
+    * returns (possibly truncated text, wasTruncated flag). BYTE-exact
+    * like the reference (the previous `substring` spelling counted
+    * characters and diverged on multi-byte UTF-8); cuts back off to the
+    * last rune boundary — see [[ByteTrunc]].
     */
   def maxLineBytes(text: Column, maxBytes: Int): (Column, Column) = {
     val over = octet_length(text) > maxBytes
-    (when(over, substring(text, 1, maxBytes)).otherwise(text), over)
+    (when(over, Utf8TruncBytes(text, maxBytes)).otherwise(text), over)
   }
 }

@@ -51,24 +51,28 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
       case LongType => node.put(f.name, row.getLong(i))
       case BooleanType => node.put(f.name, row.getBoolean(i))
       case DoubleType | FloatType =>
-        // FloatValue rule: always a decimal point
+        // FloatValue rule (`float_value.go:8-26`): always a decimal
+        // point, and Go strconv.FormatFloat('f', -1) plain notation —
+        // Jackson's default would render 1e10 as "1.0E10"
         val d = f.dataType match {
           case DoubleType => row.getDouble(i)
           case _ => row.getFloat(i).toDouble
         }
-        node.put(f.name, d)
+        node.putRawValue(f.name, new com.fasterxml.jackson.databind.util.RawValue(
+          EventJsonEncode.goFloatString(d)))
       case TimestampType =>
-        val micros = row.getLong(i)
-        node.put(f.name,
-          java.time.Instant.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L),
-            Math.floorMod(micros, 1000000L) * 1000L).toString)
+        // RFC3339Nano shape (`timestamp.go:34-46`): fraction trimmed of
+        // trailing zeros, no padding (Instant.toString pads to 3/6/9)
+        node.put(f.name, EventJsonEncode.rfc3339Nano(row.getLong(i)))
       case MapType(StringType, StringType, _) =>
         val m = row.getMap(i).asInstanceOf[MapData]
         val keys = m.keyArray(); val vals = m.valueArray()
         var j = 0
         while (j < m.numElements()) {
-          node.put(keys.getUTF8String(j).toString, vals.getUTF8String(j).toString)
+          val k = keys.getUTF8String(j).toString
+          // valueContainsNull maps: Go json.Marshal renders nil as null
+          if (vals.isNullAt(j)) node.putNull(k)
+          else node.put(k, vals.getUTF8String(j).toString)
           j += 1
         }
       case ArrayType(StringType, _) =>
@@ -94,6 +98,42 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
 
 object EventJsonEncode {
   def apply(c: Column): Column = EU.column(EventJsonEncode(EU.expression(c)))
+
+  /** Go `strconv.FormatFloat(d, 'f', -1, 64)` + the FloatValue
+    * always-a-decimal-point rule: shortest round-trip digits, plain
+    * (never scientific) notation, `.0` appended to integral values.
+    */
+  def goFloatString(d: Double): String = {
+    if (d.isNaN || d.isInfinite)
+      // Go json.Marshal errors on these; render the Java spelling rather
+      // than throw (documented divergence — no error channel in a column)
+      return java.lang.Double.toString(d)
+    if (d == 0.0d)
+      return if (1.0 / d < 0) "-0.0" else "0.0"
+    // Double.toString yields the shortest round-trip digits; BigDecimal
+    // re-renders them in plain notation
+    val plain = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros().toPlainString()
+    if (plain.indexOf('.') >= 0) plain else plain + ".0"
+  }
+
+  /** RFC3339Nano over UTC from epoch micros: trailing zeros trimmed from
+    * the fraction, fraction dropped entirely when zero.
+    */
+  def rfc3339Nano(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val base = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    // ISO_LOCAL_DATE_TIME omits :00 seconds; RFC3339 requires them
+    val withSecs = if (base.length == 16) base + ":00" else base
+    if (frac == 0L) withSecs + "Z"
+    else {
+      var f = f"$frac%06d"
+      while (f.endsWith("0")) f = f.substring(0, f.length - 1)
+      withSecs + "." + f + "Z"
+    }
+  }
 
   /** Encode a whole envelope frame: every column except `_meta*`. */
   def forFrame(df: DataFrame): Column =

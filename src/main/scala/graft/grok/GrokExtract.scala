@@ -94,6 +94,10 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
   override val dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
 
   @transient private lazy val fieldArr = compiled.fields.toArray
+  // capture names are plan constants — materialise their UTF8Strings once,
+  // not once per row (was two ArrayBuffers + N fromString per row)
+  @transient private lazy val nameUtf8: Array[UTF8String] =
+    fieldArr.map(f => UTF8String.fromString(f.name))
 
   override def nullSafeEval(input: Any): Any =
     graft.functions.EvalMemo.memo(("gxm", compiled.regex), input.asInstanceOf[UTF8String])(evalRaw(input))
@@ -102,19 +106,24 @@ case class GrokExtractMap(child: Expression, compiled: CompiledGrok)
     val s = graft.functions.Utf8Ascii.charSeq(input.asInstanceOf[UTF8String])
     val m = compiled.matcher(s)
     if (!m.find()) return null
-    val keys = new scala.collection.mutable.ArrayBuffer[Any](fieldArr.length)
-    val vals = new scala.collection.mutable.ArrayBuffer[Any](fieldArr.length)
+    val n = fieldArr.length
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var cnt = 0
     var i = 0
-    while (i < fieldArr.length) {
-      val f = fieldArr(i)
-      val g = m.group(f.group)
+    while (i < n) {
+      val g = m.group(fieldArr(i).group)
       if (g != null) {
-        keys += UTF8String.fromString(f.name)
-        vals += UTF8String.fromString(g)
+        keys(cnt) = nameUtf8(i)
+        vals(cnt) = UTF8String.fromString(g)
+        cnt += 1
       }
       i += 1
     }
-    ArrayBasedMapData(keys.toArray, vals.toArray)
+    if (cnt == n) ArrayBasedMapData(keys, vals)
+    else ArrayBasedMapData(
+      java.util.Arrays.copyOf(keys.asInstanceOf[Array[AnyRef]], cnt),
+      java.util.Arrays.copyOf(vals.asInstanceOf[Array[AnyRef]], cnt))
   }
 
   def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]

@@ -51,7 +51,6 @@ object PartitionMetrics {
     * the batch analog of consumer lag.
     */
   def sinkLag(assigned: DataFrame): DataFrame = {
-    val refTime = max(col("event_ts")).over()
     assigned
       .groupBy(col(graft.route.Router.SinkCol).as("sink"))
       .agg(max(col("event_ts")).as("newest"))

@@ -210,6 +210,60 @@ case class SetFieldStage(field: String, valueCel: String) extends Stage {
   }
 }
 
+/** `user_agent` action (`lc-lib/processor/actionuseragent.go:50-112`):
+  * uap-style decomposition of a UA string into
+  * `user_agent[original|name|major|minor|patch|os[family|major|minor]|device[name]]`
+  * entries of the fields map (path syntax flattened to dotted keys);
+  * missing source field → `_user_agent_failure`. The LRU(1000) cache is
+  * replaced by the EvalMemo consecutive-row memo inside
+  * [[graft.functions.UserAgentParse]].
+  */
+case class UserAgentStage(field: String, remove: Boolean = false) extends Stage {
+  def apply(df: DataFrame, guard: Column): DataFrame = {
+    val src = Pipeline.resolve(df)(field)
+    val ua = graft.functions.UserAgentParse(src)
+    val entries: Seq[(String, Column)] = Seq(
+      "user_agent.original" -> src,
+      "user_agent.name" -> ua.getField("name"),
+      "user_agent.major" -> ua.getField("major"),
+      "user_agent.minor" -> ua.getField("minor"),
+      "user_agent.patch" -> ua.getField("patch"),
+      "user_agent.os.family" -> ua.getField("os_family"),
+      "user_agent.os.major" -> ua.getField("os_major"),
+      "user_agent.os.minor" -> ua.getField("os_minor"),
+      "user_agent.device.name" -> ua.getField("device"))
+    // absent versions are simply not set (actionuseragent.go's
+    // conditional MustResolve calls) — drop null-valued entries
+    val uaMap = map_filter(
+      map(entries.flatMap { case (k, v) => Seq(lit(k), v) }: _*),
+      (_, v) => v.isNotNull)
+    val ok = guard && src.isNotNull
+    var out = df.withColumn(Envelope.FieldsCol,
+      when(ok, Pipeline.mergeMaps(col(Envelope.FieldsCol), uaMap))
+        .otherwise(col(Envelope.FieldsCol)))
+    out = Pipeline.addError(out, guard && src.isNull,
+      "user_agent", s"Field '$field' is not present")
+    if (remove) out = Pipeline.unsetField(out, ok, field)
+    out
+  }
+}
+
+/** `geoip` action (`lc-lib/processor/actiongeoip.go:88-213`): broadcast
+  * lookup of an IP field → full geo struct at the target path (default
+  * `source[geo]`); invalid IP → `_geoip_failure`; valid-but-unknown IP →
+  * silently ignored. See [[graft.enrich.GeoIp]] for the struct shape.
+  */
+case class GeoIpStage(field: String, db: Seq[graft.enrich.GeoRecord],
+    target: String = "source[geo]") extends Stage {
+  def apply(df: DataFrame, guard: Column): DataFrame = {
+    val p = Pipeline.normalizePath(target).split('.')
+    require(p.length == 2, s"geoip target must be a two-level path: $target")
+    val lookup = graft.enrich.GeoIp.lookupFrame(df.sparkSession, db)
+    val ip = when(guard, Pipeline.resolve(df)(field)) // unguarded rows: no-op
+    graft.enrich.GeoIp.enrich(df, ip, lookup, targetCol = p(0), targetField = p(1))
+  }
+}
+
 /** `unset_field` (`actionfield.go:77-82`). */
 case class UnsetFieldStage(field: String) extends Stage {
   def apply(df: DataFrame, guard: Column): DataFrame =

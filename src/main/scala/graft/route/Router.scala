@@ -91,4 +91,20 @@ object Router {
   def indexColumn(df: DataFrame, pattern: String): Column =
     EventFns.patternFormat(pattern,
       graft.pipeline.Pipeline.resolve(df), col(Envelope.EventTsCol))
+
+  /** Doris `table pattern` (`lc-lib/transports/doris/tablemanager.go:48-92`):
+    * the per-event table name uses the same `%{field}`/`%{+date}`
+    * mechanism as the ES index pattern.
+    */
+  def dorisTableColumn(df: DataFrame, pattern: String): Column =
+    indexColumn(df, pattern)
+
+  /** Doris day-partition retention (`tablemanager.go:217-275`): the table
+    * manager drops day partitions older than `retention`. The batch-engine
+    * analog is a partition-pruning filter — keep events whose day is
+    * within `retentionDays` of `now`'s day.
+    */
+  def retentionFilter(ts: Column, retentionDays: Int, now: Column): Column =
+    date_trunc("DAY", ts).cast("date") >
+      date_sub(date_trunc("DAY", now).cast("date"), retentionDays)
 }

@@ -81,6 +81,46 @@ class MultilineSpec extends SparkTestBase {
     assert(runOrdered(lines, cfg) == oracle)
   }
 
+  test("previous timeout: an event-time gap flushes the buffer (multiline.go:281-319)") {
+    val cfg = MultilineConfig(contPattern, previousTimeout = Some(5.0))
+    // lines at t=0,1,2 then a 10s gap before the indented continuation:
+    // the deadline routine flushed, so "  late cont" starts a NEW event
+    val rows = Seq(
+      ("c0", 0, "head A", 0L), ("c0", 1, "  cont 1", 1000L), ("c0", 2, "  cont 2", 2000L),
+      ("c0", 3, "  late cont", 12000L), ("c0", 4, "head B", 13000L))
+      .map { case (c, i, t, ms) => (c, i, t, new java.sql.Timestamp(1767225600000L + ms)) }
+      .toDF("conv_id", "turn_idx", "text", "ts")
+    val got = Multiline.sessionize(rows, cfg).orderBy("first_turn_idx")
+      .collect().map(_.getAs[String]("text")).toSeq
+    val want = Seq("head A\n  cont 1\n  cont 2", "  late cont", "head B")
+    assert(got == want)
+    val timed = Seq(("head A", 0.0), ("  cont 1", 1.0), ("  cont 2", 2.0),
+      ("  late cont", 12.0), ("head B", 13.0))
+    assert(Multiline.oracleTimed(timed, cfg) == want)
+  }
+
+  test("previous timeout: gaps at or under the timeout do not flush") {
+    val cfg = MultilineConfig(contPattern, previousTimeout = Some(5.0))
+    val timed = Seq(("head", 0.0), ("  c1", 5.0), ("  c2", 10.0))
+    assert(Multiline.oracleTimed(timed, cfg) == Seq("head\n  c1\n  c2"))
+  }
+
+  test("maxBytes counts BYTES, not characters (multi-byte UTF-8)") {
+    // "日本語テキスト" = 6 chars × 3 bytes = 18 bytes; with maxBytes=10 the
+    // byte-exact cut keeps 3 runes (9 bytes, backed off from 10)
+    val cfg = MultilineConfig(contPattern, maxBytes = Some(10))
+    val lines = Seq("日本語テキスト")
+    val oracle = Multiline.oracle(lines, cfg)
+    assert(oracle == Seq("日本語", "テキス", "ト"))
+    assert(runOrdered(lines, cfg) == oracle)
+  }
+
+  test("spark sessioniser == oracle with maxBytes on multi-byte transcripts") {
+    val cfg = MultilineConfig(contPattern, maxBytes = Some(16))
+    val lines = Seq("héad Ä", "  çont über", "日本 mixed ascii", "  🙂🙂🙂🙂", "tail")
+    assert(runOrdered(lines, cfg) == Multiline.oracle(lines, cfg))
+  }
+
   test("spark sessioniser == state-machine oracle on generated transcripts") {
     val seed = 42L
     val nConvs = 40L

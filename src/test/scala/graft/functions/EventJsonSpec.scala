@@ -30,6 +30,39 @@ class EventJsonSpec extends SparkTestBase {
     assert(node.get("ts").asText() == "2026-01-01T00:00:00Z")
   }
 
+  test("Go FormatFloat('f',-1) plain notation — never scientific (pattern of Event.Bytes)") {
+    import EventJsonEncode.goFloatString
+    assert(goFloatString(1.0e10) == "10000000000.0")
+    assert(goFloatString(1.0e-4) == "0.0001")
+    assert(goFloatString(87.0) == "87.0")
+    assert(goFloatString(0.5) == "0.5")
+    assert(goFloatString(-2.5e7) == "-25000000.0")
+    assert(goFloatString(0.0) == "0.0")
+    assert(goFloatString(-0.0) == "-0.0")
+    assert(goFloatString(1234.5678) == "1234.5678")
+    // rendered through the encoder, not just the helper
+    val df = Seq((1.0e10, 1.5e-3)).toDF("big", "small")
+    val json = df.select(EventJsonEncode.forFrame(df).as("j")).as[String].collect()(0)
+    assert(json.contains("\"big\":10000000000.0") && json.contains("\"small\":0.0015"))
+  }
+
+  test("RFC3339Nano timestamps: fraction trimmed, no 3/6/9 padding (timestamp.go:34-46)") {
+    import EventJsonEncode.rfc3339Nano
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli * 1000L
+    assert(rfc3339Nano(base) == "2026-01-01T00:00:00Z")
+    assert(rfc3339Nano(base + 500000L) == "2026-01-01T00:00:00.5Z")
+    assert(rfc3339Nano(base + 123000L) == "2026-01-01T00:00:00.123Z")
+    assert(rfc3339Nano(base + 120000L) == "2026-01-01T00:00:00.12Z")   // not .120
+    assert(rfc3339Nano(base + 1L) == "2026-01-01T00:00:00.000001Z")
+  }
+
+  test("map columns with null values render JSON null instead of NPE") {
+    val df = Seq((Map("a" -> Some("1"), "b" -> Option.empty[String]), "x"))
+      .toDF("fields", "message")
+    val json = df.select(EventJsonEncode.forFrame(df).as("j")).as[String].collect()(0)
+    assert(json.contains("\"b\":null") && json.contains("\"a\":\"1\""))
+  }
+
   test("deterministic over the flagship pipeline output") {
     val turns = graft.model.TranscriptGen.generate(spark, 11L, 10L, 2).toDF()
     val assigned = graft.TranscriptPipeline.run(spark, turns)

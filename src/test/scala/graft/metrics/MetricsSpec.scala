@@ -41,6 +41,40 @@ class MetricsSpec extends SparkTestBase {
     assert(lags.values.forall(_ >= 0L))
   }
 
+  test("codec meters: filtered_lines counts pattern-collection rejects (filter.go:108-117)") {
+    import spark.implicits._
+    val df = Seq("keep this", "drop that", "keep too", "drop also", "drop x")
+      .toDF("text")
+    val m = graft.codec.CodecMeters.filterMeter(df, Seq("^keep")).collect()(0)
+    assert(m.getLong(0) == 2L && m.getLong(1) == 3L) // kept, filtered
+  }
+
+  test("codec meters: pending_lines = unflushed buffer at end of input (multiline.go:268-279)") {
+    import spark.implicits._
+    import graft.codec.{CodecMeters, MultilineConfig}
+    // what=previous: every conversation's final group is still buffered
+    val prev = Seq(
+      ("c1", 0, "head"), ("c1", 1, "  cont"),          // open buffer: 2 lines
+      ("c2", 0, "head"), ("c2", 1, "  c"), ("c2", 2, "  c2") // open buffer: 3 lines
+    ).toDF("conv_id", "turn_idx", "text")
+    val mPrev = CodecMeters.multilinePending(prev, MultilineConfig(Seq("^\\s"))).collect()(0)
+    assert(mPrev.getLong(0) == 5L && mPrev.getLong(1) == 2L)
+    // a head after the continuation flushes the earlier group
+    val prev2 = Seq(("c1", 0, "head"), ("c1", 1, "  cont"), ("c1", 2, "head2"))
+      .toDF("conv_id", "turn_idx", "text")
+    val mPrev2 = CodecMeters.multilinePending(prev2, MultilineConfig(Seq("^\\s"))).collect()(0)
+    assert(mPrev2.getLong(0) == 1L && mPrev2.getLong(1) == 1L) // only head2 pending
+    // what=next: buffer survives only when the last line matched
+    val next = Seq(("c1", 0, "a \\"), ("c1", 1, "b")).toDF("conv_id", "turn_idx", "text")
+    val mNextClosed = CodecMeters.multilinePending(next,
+      MultilineConfig(Seq("\\\\$"), what = "next")).collect()(0)
+    assert(mNextClosed.getLong(0) == 0L && mNextClosed.getLong(1) == 0L)
+    val nextOpen = Seq(("c1", 0, "a \\"), ("c1", 1, "b \\")).toDF("conv_id", "turn_idx", "text")
+    val mNextOpen = CodecMeters.multilinePending(nextOpen,
+      MultilineConfig(Seq("\\\\$"), what = "next")).collect()(0)
+    assert(mNextOpen.getLong(0) == 2L && mNextOpen.getLong(1) == 1L)
+  }
+
   test("RunPipeline main end-to-end with lineage resume") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-runpipe").toString
     TranscriptGen.generate(spark, 8L, 25L, 4).toDF()
