@@ -33,6 +33,10 @@ object SparkEntry {
       "q_dedup_exact" -> (graft.queries.QueriesML.qDedupExact _),
       "q_dedup_pairs" -> (graft.queries.QueriesML.qDedupPairs _),
       "q_dedup_minhash" -> (graft.queries.QueriesML.qDedupMinhash _),
+      // rows-only: FNV fingerprint not expressible in DuckDB SQL (no
+      // oracleSql entry by design; exactness proven in DedupSpec)
+      "q_dedup_simhash" -> (graft.queries.QueriesML.qDedupSimhash _),
+      "q_dedup_clusters" -> (graft.queries.QueriesML.qDedupClusters _),
       "q_ann_cosine" -> (graft.queries.QueriesML.qAnnCosine _),
       "q_embed_neardup" -> (graft.queries.QueriesML.qEmbedNearDup _),
       "q_lang_id" -> (graft.queries.QueriesML.qLangId _),
@@ -69,6 +73,7 @@ object SparkEntry {
       "q_dedup_exact" -> graft.queries.QueriesML.qDedupExactSql,
       "q_dedup_pairs" -> graft.queries.QueriesML.qDedupPairsSql,
       "q_dedup_minhash" -> graft.queries.QueriesML.qDedupMinhashSql,
+      "q_dedup_clusters" -> graft.queries.QueriesML.qDedupClustersSql,
       "q_ann_cosine" -> graft.queries.QueriesML.qAnnCosineSql,
       "q_embed_neardup" -> graft.queries.QueriesML.qEmbedNearDupSql,
       "q_lang_id" -> graft.queries.QueriesML.qLangIdSql,

@@ -100,6 +100,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup clusters from a pair list: connected components by
+    * iterative min-label propagation, the shuffle-bounded way to turn
+    * pairwise near-dups into dedup groups (keep `min(id)` per cluster,
+    * drop the rest). Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (dups of dups of one source), so in practice
+    * 2-4 rounds; each round is one shuffle join keyed by vertex.
+    * `localCheckpoint` truncates the plan lineage per round so the loop
+    * does not compound (the driver-side loop is control flow only — all
+    * data stays distributed; this is how label-propagation components are
+    * done on any Spark cluster).
+    *
+    * Returns (id, cluster) where cluster = min id reachable.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src").withColumnRenamed("cluster", "srcCluster"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("srcCluster")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Full near-dup dedup verdict over a corpus: every document, its
+    * cluster representative (`min` id — the kept copy), and whether it
+    * survives. Documents in no near-dup pair are their own cluster.
+    */
+  def dedupByClusters(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = clusters(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comp.withColumnRenamed("cluster", "rep"), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("rep"), col("id")).as("kept_id"))
+      .withColumn("survives", col(idCol) === col("kept_id"))
+  }
+
   /** SimHash near-dup pairs: 64-bit fingerprints; pairs within `maxHamming`
     * bits found by banding the fingerprint into four 16-bit keys (any pair
     * with ≤3 differing bits must agree on at least one band — pigeonhole),

@@ -57,13 +57,22 @@ object EventFns {
     * template, missing fields → empty string, `%{+layout}` formats the
     * event timestamp. Static templates (no `%{`) constant-fold for free.
     *
+    * Non-string values are JSON-encoded like the reference
+    * (`pattern.go:86-97`: string → raw, anything else → `json.Marshal`)
+    * when the caller supplies `typeOf`; without type information the
+    * legacy cast-to-string spelling applies (identical for
+    * string/int/bool fields, which is the overwhelmingly common case).
+    *
     * @param resolve maps a field name to its Column (caller decides
     *                whether names hit top-level columns or the fields map)
     * @param tsCol   the `@timestamp` analog used by `%{+...}`
+    * @param typeOf  optional field-name → DataType for JSON-encoding
     */
   def patternFormat(template: String,
       resolve: String => Column,
-      tsCol: Column): Column = {
+      tsCol: Column,
+      typeOf: String => Option[org.apache.spark.sql.types.DataType] = _ => None): Column = {
+    import org.apache.spark.sql.types._
     val re = "%\\{([^}]+)\\}".r
     val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
     var last = 0
@@ -72,8 +81,22 @@ object EventFns {
       val inner = m.group(1)
       if (inner.startsWith("+"))
         parts += date_format(tsCol, GoTime.translate(inner.substring(1)))
-      else
-        parts += coalesce(resolve(inner).cast("string"), lit(""))
+      else {
+        val c = resolve(inner)
+        val rendered = typeOf(inner) match {
+          case Some(StringType) | None => c.cast("string")
+          case Some(DoubleType) | Some(FloatType) =>
+            // json.Marshal via the FloatValue rule (float_value.go:8-26)
+            GoFloatJson(c.cast("double"))
+          case Some(TimestampType) | Some(TimestampNTZType) =>
+            // json.Marshal of event.Timestamp = quoted RFC3339
+            concat(lit("\""), date_format(c, "yyyy-MM-dd'T'HH:mm:ssXXX"), lit("\""))
+          case Some(_: StructType) | Some(_: ArrayType) | Some(_: MapType) =>
+            to_json(c)
+          case Some(_) => c.cast("string") // ints, bools: same as JSON
+        }
+        parts += coalesce(rendered, lit(""))
+      }
       last = m.end
     }
     if (last < template.length) parts += lit(template.substring(last))

@@ -96,6 +96,29 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Go-style JSON rendering of a double for pattern substitution
+  * (`pattern.go:90-96` json.Marshal + the FloatValue decimal-point rule).
+  */
+case class GoFloatJson(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "go_float_json"
+  override val dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(EventJsonEncode.goFloatString(input.asInstanceOf[Double]))
+  def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("goFloat", this, classOf[GoFloatJson].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.evalInput($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): GoFloatJson =
+    copy(child = c)
+}
+
+object GoFloatJson {
+  def apply(c: Column): Column = EU.column(GoFloatJson(EU.expression(c)))
+}
+
 object EventJsonEncode {
   def apply(c: Column): Column = EU.column(EventJsonEncode(EU.expression(c)))
 

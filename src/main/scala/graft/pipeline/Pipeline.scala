@@ -42,6 +42,17 @@ object Pipeline {
     else element_at(col(Envelope.FieldsCol), p)
   }
 
+  /** Static type of a resolved path, for pattern-string JSON encoding
+    * (`pattern.go:86-97`): top-level columns from the schema, dynamic
+    * `fields`-map entries are strings.
+    */
+  def typeOf(df: DataFrame)(path: String): Option[org.apache.spark.sql.types.DataType] = {
+    val p = normalizePath(path)
+    val name = if (p == "@timestamp") Envelope.EventTsCol else p
+    df.schema.fields.find(_.name == name).map(_.dataType)
+      .orElse(Some(org.apache.spark.sql.types.StringType))
+  }
+
   /** Add the envelope columns to a raw transcripts frame — the `Decorate`
     * analog (`lc-lib/event/stream.go:72-114`): empty tags/fields and
     * `event_ts` seeded from the turn timestamp (the "receive time").
@@ -186,7 +197,8 @@ case class KvStage(field: String, prefix: String = "") extends Stage {
     val parsed = KvParse(src)
     val prefixCol =
       if (prefix.isEmpty) lit("")
-      else EventFns.patternFormat(prefix, Pipeline.resolve(df), col(Envelope.EventTsCol))
+      else EventFns.patternFormat(prefix, Pipeline.resolve(df),
+        col(Envelope.EventTsCol), Pipeline.typeOf(df))
     val prefixed =
       if (prefix.isEmpty) parsed
       else transform_keys(parsed, (k, _) => concat(prefixCol, k))

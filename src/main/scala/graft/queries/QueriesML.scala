@@ -106,6 +106,58 @@ object QueriesML {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // Near-dup clusters → dedup verdict: connected components over the
+  // jaccard pair list (min-label propagation), keep min(doc_id) per
+  // cluster. Oracle: recursive-CTE transitive closure over the same
+  // exact pair list.
+  // ---------------------------------------------------------------
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.8, n = 3, maxDf = DedupPairsMaxDf)
+    Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(ws) - 1, 1)),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS s
+       |  FROM words WHERE len(ws) >= 3),
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING count(*) > $DedupPairsMaxDf),
+       |kept AS (SELECT sh.doc_id, sh.s FROM sh ANTI JOIN hot USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbl AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |  CAST(least(d.doc_id, coalesce(l.mn, d.doc_id)) AS BIGINT) AS kept_id,
+       |  least(d.doc_id, coalesce(l.mn, d.doc_id)) = d.doc_id AS survives
+       |FROM documents d LEFT JOIN lbl l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SimHash near-dup pairs (4×16-bit band pigeonhole + hamming verify).
+  // No SQL oracle — the FNV-based 64-bit fingerprint is not expressible
+  // in DuckDB SQL, so the driver records the weaker rows-only check;
+  // DedupSpec proves equality with the naive all-pairs hamming scan.
+  // ---------------------------------------------------------------
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  // ---------------------------------------------------------------
   // Embedding near-dup pairs via LSH buckets + exact verification —
   // the scale path (bucket equi-join, never an all-pairs cartesian).
   //

@@ -90,7 +90,8 @@ object Router {
     */
   def indexColumn(df: DataFrame, pattern: String): Column =
     EventFns.patternFormat(pattern,
-      graft.pipeline.Pipeline.resolve(df), col(Envelope.EventTsCol))
+      graft.pipeline.Pipeline.resolve(df), col(Envelope.EventTsCol),
+      graft.pipeline.Pipeline.typeOf(df))
 
   /** Doris `table pattern` (`lc-lib/transports/doris/tablemanager.go:48-92`):
     * the per-event table name uses the same `%{field}`/`%{+date}`

@@ -67,6 +67,20 @@ class DedupSpec extends SparkTestBase {
     assert(got == naive)
   }
 
+  test("clusters: connected components by min-label propagation (chains, not just pairs)") {
+    // chain 1-2-3 (1-3 never directly paired), separate pair 7-9, singleton 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comp = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val verdict = Dedup.dedupByClusters(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(verdict(1L) == ((1L, true)) && verdict(2L) == ((1L, false)) && verdict(3L) == ((1L, false)))
+    assert(verdict(5L) == ((5L, true))) // no pairs → own cluster, survives
+    assert(verdict(7L) == ((7L, true)) && verdict(9L) == ((7L, false)))
+  }
+
   test("jaccardPairs df-cap drops hot shingles deterministically") {
     val df = Seq(
       (1L, "x y z common common2 common3"),

@@ -63,6 +63,22 @@ class EventJsonSpec extends SparkTestBase {
     assert(json.contains("\"b\":null") && json.contains("\"a\":\"1\""))
   }
 
+  test("pattern strings JSON-encode non-string fields (pattern.go:86-97)") {
+    import org.apache.spark.sql.types.DataType
+    val df = Seq((87.0, Seq("a", "b"), 42L, "raw"))
+      .toDF("score", "tags", "n", "message")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val typeOf: String => Option[DataType] =
+      n => df.schema.fields.find(_.name == n).map(_.dataType)
+    val out = df.select(EventFns.patternFormat(
+      "s=%{score} t=%{tags} n=%{n} m=%{message} miss=%{absent}",
+      n => if (df.columns.contains(n)) df(n) else lit(null).cast("string"),
+      col("ts"), typeOf).as("p")).as[String].collect()(0)
+    // float: FloatValue decimal-point JSON; array: JSON; string: raw;
+    // missing: empty string
+    assert(out == """s=87.0 t=["a","b"] n=42 m=raw miss=""")
+  }
+
   test("deterministic over the flagship pipeline output") {
     val turns = graft.model.TranscriptGen.generate(spark, 11L, 10L, 2).toDF()
     val assigned = graft.TranscriptPipeline.run(spark, turns)
