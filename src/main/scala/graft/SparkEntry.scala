@@ -47,7 +47,9 @@ object SparkEntry {
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
       "q_multiline_timeout" -> (graft.queries.QueriesR2.qMultilineTimeout _),
-      "q_doris_table" -> (graft.queries.QueriesR2.qDorisTable _)
+      "q_doris_table" -> (graft.queries.QueriesR2.qDorisTable _),
+      "q_codec_meters" -> (graft.queries.QueriesR2.qCodecMeters _),
+      "q_unset_field" -> (graft.queries.QueriesR2.qUnsetField _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,7 +86,9 @@ object SparkEntry {
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,
       "q_multiline_timeout" -> graft.queries.QueriesR2.qMultilineTimeoutSql,
-      "q_doris_table" -> graft.queries.QueriesR2.qDorisTableSql
+      "q_doris_table" -> graft.queries.QueriesR2.qDorisTableSql,
+      "q_codec_meters" -> graft.queries.QueriesR2.qCodecMetersSql,
+      "q_unset_field" -> graft.queries.QueriesR2.qUnsetFieldSql
     )
   }
 }

@@ -157,6 +157,70 @@ object QueriesR2 {
       |ORDER BY user_id, first_turn_idx""".stripMargin
 
   // ---------------------------------------------------------------
+  // Codec meters (filter.go:108-117, multiline.go:268-279):
+  // filtered_lines of a filter codec and pending_lines of a multiline
+  // codec over the same events stream, one row each, unioned
+  // ---------------------------------------------------------------
+  def qCodecMeters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val filter = graft.codec.CodecMeters
+      .filterMeter(ev, Seq("!^error"), textCol = "event_type")
+      .select(lit("filter").as("codec"),
+        col("kept_lines"), col("filtered_lines"), lit(-1L).as("pending_lines"))
+    val lines = ev.select(col("user_id").cast("string").as("conv_id"),
+      col("event_id").as("turn_idx"), col("event_type").as("text"))
+    val pending = graft.codec.CodecMeters
+      .multilinePending(lines, graft.codec.MultilineConfig(Seq("!^error")))
+      .select(lit("multiline").as("codec"),
+        lit(-1L).as("kept_lines"), lit(-1L).as("filtered_lines"), col("pending_lines"))
+    filter.unionByName(pending).orderBy("codec")
+  }
+  val qCodecMetersSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN regexp_matches(event_type, '^error') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM events),
+      |lastg AS (SELECT user_id, max(grp) AS mg FROM flagged GROUP BY 1),
+      |pending AS (SELECT count(*) AS p FROM flagged JOIN lastg USING (user_id)
+      |  WHERE grp = mg)
+      |SELECT 'filter' AS codec,
+      |  CAST(sum(CASE WHEN NOT regexp_matches(event_type, '^error') THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+      |  CAST(sum(CASE WHEN regexp_matches(event_type, '^error') THEN 1 ELSE 0 END) AS BIGINT) AS filtered_lines,
+      |  CAST(-1 AS BIGINT) AS pending_lines
+      |FROM events
+      |UNION ALL
+      |SELECT 'multiline', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+      |  CAST((SELECT p FROM pending) AS BIGINT)
+      |ORDER BY codec""".stripMargin
+
+  // ---------------------------------------------------------------
+  // unset_field action (actionfield.go:77-82): kv-parse then unset one
+  // extracted field; prove presence before, absence after
+  // ---------------------------------------------------------------
+  def qUnsetField(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .select(col("event_id").as("turn_idx"),
+        lit("c").as("conv_id"), lit("user").as("role"),
+        concat(lit("type="), col("event_type"),
+          lit(" user="), col("user_id").cast("string")).as("text"),
+        lit("none").as("tool"), col("ts").cast("timestamp").as("ts"))
+    import graft.pipeline._
+    val out = Pipeline(ev, Seq(
+      KvStage("text"),
+      UnsetFieldStage("user")))
+    out.select(
+        element_at(col(graft.model.Envelope.FieldsCol), "type").as("kv_type"),
+        map_contains_key(col(graft.model.Envelope.FieldsCol), "user").as("has_user"))
+      .groupBy("kv_type", "has_user").agg(count(lit(1)).as("n"))
+      .orderBy("kv_type")
+  }
+  val qUnsetFieldSql: String =
+    """SELECT event_type AS kv_type, false AS has_user, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY kv_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // Doris table pattern + day-partition retention
   // (tablemanager.go:48-92, 217-275): per-event table name via the
   // %{field}/%{+date} mechanism; 14-day retention from the batch's
