@@ -75,11 +75,37 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
           else node.put(k, vals.getUTF8String(j).toString)
           j += 1
         }
-      case ArrayType(StringType, _) =>
+      case st: StructType =>
+        // nested object — the ECS envelope shape (host.name, log.file.path)
+        val child = row.getStruct(i, st.fields.length)
+        val childNode = node.putObject(f.name)
+        var j = 0
+        while (j < st.fields.length) {
+          if (!child.isNullAt(j)) put(childNode, st.fields(j), child, j)
+          else childNode.putNull(st.fields(j).name)
+          j += 1
+        }
+      case ArrayType(elem, _) =>
         val arr = row.getArray(i)
         val jarr = node.putArray(f.name)
         var j = 0
-        while (j < arr.numElements()) { jarr.add(arr.getUTF8String(j).toString); j += 1 }
+        while (j < arr.numElements()) {
+          elem match {
+            case StringType => jarr.add(arr.getUTF8String(j).toString)
+            case LongType => jarr.add(arr.getLong(j))
+            case IntegerType => jarr.add(arr.getInt(j))
+            case DoubleType => jarr.addRawValue(
+              new com.fasterxml.jackson.databind.util.RawValue(
+                EventJsonEncode.goFloatString(arr.getDouble(j))))
+            case FloatType => jarr.addRawValue(
+              new com.fasterxml.jackson.databind.util.RawValue(
+                EventJsonEncode.goFloatString(arr.getFloat(j).toDouble)))
+            case BooleanType => jarr.add(arr.getBoolean(j))
+            case other =>
+              throw new UnsupportedOperationException(s"event_json array: $other (${f.name})")
+          }
+          j += 1
+        }
       case other =>
         throw new UnsupportedOperationException(s"event_json: $other (${f.name})")
     }

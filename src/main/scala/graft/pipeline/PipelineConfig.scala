@@ -81,6 +81,26 @@ object PipelineConfig {
       case "remove_tag" => RemoveTagStage(str("tag"))
       case "filter" => FilterStage(strings(cfg.get("patterns")),
         str("match", "any"), str("field", "text"))
+      case "user_agent" => UserAgentStage(str("field"), bool("remove"))
+      case "geoip" =>
+        // the reference's `database` is an mmdb path; ours is the lookup
+        // records themselves — inline (`records`) or a JSON file path
+        // (`database`) of the same shape
+        val recsNode =
+          if (cfg.has("records")) cfg.get("records")
+          else if (cfg.has("database"))
+            JsonFlatten.mapper.readTree(
+              java.nio.file.Files.readString(java.nio.file.Paths.get(cfg.get("database").asText())))
+          else throw new IllegalArgumentException("geoip needs 'records' or 'database'")
+        import scala.jdk.CollectionConverters._
+        val recs = recsNode.elements().asScala.map { r =>
+          def s(f: String): String = if (r.has(f)) r.get(f).asText() else ""
+          graft.enrich.GeoRecord(s("ip"), s("city_name"), s("continent_name"),
+            s("country_iso_code"), s("country_name"),
+            r.get("longitude").asDouble(), r.get("latitude").asDouble(),
+            s("postal_code"), s("timezone"), s("region_iso_code"), s("region_name"))
+        }.toSeq
+        GeoIpStage(str("field"), recs, str("target", "source[geo]"))
       case other => throw new IllegalArgumentException(s"unknown action: $other")
     }
   }

@@ -63,6 +63,25 @@ class EventJsonSpec extends SparkTestBase {
     assert(json.contains("\"b\":null") && json.contains("\"a\":\"1\""))
   }
 
+  test("ECS-nested envelopes wire-encode recursively (docs/Events.md:31-45 shape)") {
+    val base = Seq(("m1", "c1")).toDF("message", "conv_id")
+    val ecs = graft.enrich.Ecs.decorate(base,
+      graft.enrich.EcsConfig(addHostField = true, addTimezoneField = true, enableEcs = true),
+      host = lit("node1"), timezone = lit("+0000 UTC"), timezoneName = lit("UTC"),
+      path = lit("/t/c1.log"), offset = lit(7L))
+    val json = ecs.select(EventJsonEncode.forFrame(ecs).as("j")).as[String].collect()(0)
+    val node = JsonFlatten.mapper.readTree(json)
+    assert(node.get("host").get("name").asText() == "node1")
+    assert(node.get("host").get("hostname").asText() == "node1")
+    assert(node.get("event").get("timezone").asText() == "+0000 UTC")
+    assert(node.get("log").get("file").get("path").asText() == "/t/c1.log")
+    assert(node.get("log").get("offset").asLong() == 7L)
+    // double arrays (geo location) render via the FloatValue rule
+    val geo = Seq((Seq(-0.0931, 51.5142), "x")).toDF("location", "m")
+    val gj = geo.select(EventJsonEncode.forFrame(geo).as("j")).as[String].collect()(0)
+    assert(gj.contains("\"location\":[-0.0931,51.5142]"))
+  }
+
   test("pattern strings JSON-encode non-string fields (pattern.go:86-97)") {
     import org.apache.spark.sql.types.DataType
     val df = Seq((87.0, Seq("a", "b"), 42L, "raw"))

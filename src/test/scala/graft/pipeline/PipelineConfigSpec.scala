@@ -43,6 +43,30 @@ class PipelineConfigSpec extends SparkTestBase {
     assert(rows(2)._1 == "plain")
   }
 
+  test("config-driven user_agent and geoip actions") {
+    val config =
+      """[
+        |  {"set_field": {"field": "ip", "value": "\"81.2.69.142\""}},
+        |  {"user_agent": {"field": "text"}},
+        |  {"geoip": {"field": "ip", "records": [
+        |    {"ip": "81.2.69.142", "city_name": "London", "continent_name": "Europe",
+        |     "country_iso_code": "GB", "country_name": "United Kingdom",
+        |     "longitude": -0.0931, "latitude": 51.5142, "postal_code": "EC1",
+        |     "timezone": "Europe/London", "region_iso_code": "ENG",
+        |     "region_name": "England"}]}}
+        |]""".stripMargin
+    val df = Seq(("c1", 0, "user", "curl/8.5.0", "none", new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Pipeline(df, PipelineConfig.fromJson(config))
+    val r = out.select(
+      element_at(col(Envelope.FieldsCol), "user_agent.name"),
+      col("source.geo.city_name"),
+      col("source.geo.location")).collect()(0)
+    assert(r.getString(0) == "curl")
+    assert(r.getString(1) == "London")
+    assert(r.getSeq[Double](2) == Seq(-0.0931, 51.5142))
+  }
+
   test("unknown action rejected") {
     intercept[IllegalArgumentException](
       PipelineConfig.fromJson("""[{"explode": {}}]"""))
