@@ -127,16 +127,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("cluster", "srcCluster"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("srcCluster")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      // one checkpointed frame per round serves both the convergence test
+      // and the next labels (no separate diff join)
+      val merged = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
+      changed = merged.filter(col("nbr") < col("cluster")).count()
+      labels = merged.select(col("id"),
+        least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
       rounds += 1
     }
-    labels
+    labels.select("id", "cluster")
   }
 
   /** Full near-dup dedup verdict over a corpus: every document, its

@@ -48,11 +48,32 @@ object Router {
   /** Single-pass partitioned write of an assigned frame. Returns the
     * per-sink aggregate frame (computed on the same assigned data).
     */
-  def write(assigned: DataFrame, outDir: String): Unit =
+  def write(assigned: DataFrame, outDir: String): Unit = {
     stripMeta(assigned)
       .write.mode("overwrite")
       .partitionBy(SinkCol)
       .parquet(outDir)
+    installTemplate(stripMeta(assigned), outDir)
+  }
+
+  /** The ES transport's index-template install analog
+    * (`lc-lib/transports/es/transportes.go:186-252`, `templates.go`): the
+    * transport pushes a mapping template describing the event schema
+    * before the first bulk write. A table sink's counterpart is a schema
+    * manifest written once alongside the data — `_template.json` with the
+    * sink column names/types (the "mapping") and the partition pattern
+    * (the "index_patterns"). Idempotent overwrite, driver-side, one tiny
+    * file — never per-task.
+    */
+  def installTemplate(df: DataFrame, outDir: String): Unit = {
+    val fields = df.schema.fields.filterNot(_.name == SinkCol).map { f =>
+      s""""${f.name}":{"type":"${f.dataType.simpleString.replace("\"", "")}"}"""
+    }.mkString(",")
+    val json =
+      s"""{"index_patterns":["$SinkCol=*"],"version":1,"mappings":{"properties":{$fields}}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_template.json"), json)
+  }
 
   /** Per-sink aggregates — the north rule's verification surface and the
     * admin-API counter analog (SURVEY.md §2.10): turn counts and byte

@@ -29,6 +29,22 @@ class RouterSpec extends SparkTestBase {
     assert(assigned.select(Router.SinkCol).as[String].collect().forall(_ == "main"))
   }
 
+  test("index-template install analog: schema manifest written with the sink data (transportes.go:186-252)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-router").toString
+    val assigned = Router.assign(df, Seq(Sink("tools", col("tool") =!= "none")), "main")
+    Router.write(assigned, tmp)
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(tmp, "_template.json"))
+    val node = graft.functions.JsonFlatten.mapper.readTree(manifest)
+    assert(node.get("index_patterns").get(0).asText() == "_sink=*")
+    val props = node.get("mappings").get("properties")
+    assert(props.get("conv_id").get("type").asText() == "string")
+    assert(props.get("turn_idx").get("type").asText() == "int")
+    assert(props.get("ts").get("type").asText() == "timestamp")
+    assert(!props.has(Router.SinkCol)) // partition column, not a mapped field
+    // data itself still written partitioned
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_sink=tools")))
+  }
+
   test("stripMeta drops @metadata-style columns before write (event.go:346-354)") {
     val withMeta = df.withColumn("_meta_receiver", lit("tcp"))
       .withColumn("_meta", lit("x"))
