@@ -39,6 +39,45 @@ class StreamingSpec extends SparkTestBase {
     assert(sTexts == bTexts)
   }
 
+  test("round-2 stages (user_agent, geoip, ECS decorate) are streaming-identical column transforms") {
+    import graft.enrich.{Ecs, EcsConfig, GeoRecord}
+    import graft.pipeline.{GeoIpStage, Pipeline, SetFieldStage, UserAgentStage}
+    val tmp = Files.createTempDirectory("graft-stream-r2").toString
+    val turns = TranscriptGen.generate(spark, seed = 44L, nConvs = 10L, parallelism = 2).toDF()
+    turns.write.parquet(s"$tmp/in")
+    val db = Seq(GeoRecord("81.2.69.142", "London", "Europe", "GB", "United Kingdom",
+      -0.0931, 51.5142, "EC1", "Europe/London", "ENG", "England"))
+    def stages(df: org.apache.spark.sql.DataFrame) = {
+      val piped = Pipeline(df, Seq(
+        SetFieldStage("ip", "\"81.2.69.142\""),
+        UserAgentStage("text"),
+        GeoIpStage("ip", db)))
+      Ecs.decorate(piped, EcsConfig(addHostField = true, enableEcs = true),
+        host = lit("node1"), timezone = lit("+0000 UTC"), timezoneName = lit("UTC"),
+        path = concat(lit("/t/"), col("conv_id"), lit(".log")),
+        offset = col("turn_idx"))
+    }
+    val q = spark.readStream
+      .schema(graft.model.Turn.schema)
+      .parquet(s"$tmp/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        stages(batch).write.mode("overwrite").parquet(s"$tmp/out/batch=$id"): Unit
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.option("basePath", s"$tmp/out").parquet(s"$tmp/out/batch=*")
+    val batch = stages(turns)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("conv_id"), col("turn_idx"),
+          col("host.name"), col("log.offset"), col("source.geo.city_name"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getString(4))).toSet
+    assert(key(streamed) == key(batch))
+  }
+
   test("checkpoint resume: restarted stream processes only new files (registrar analog)") {
     val tmp = Files.createTempDirectory("graft-resume").toString
     val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
