@@ -49,7 +49,10 @@ object SparkEntry {
       "q_multiline_timeout" -> (graft.queries.QueriesR2.qMultilineTimeout _),
       "q_doris_table" -> (graft.queries.QueriesR2.qDorisTable _),
       "q_codec_meters" -> (graft.queries.QueriesR2.qCodecMeters _),
-      "q_unset_field" -> (graft.queries.QueriesR2.qUnsetField _)
+      "q_unset_field" -> (graft.queries.QueriesR2.qUnsetField _),
+      "q_skew_salted_agg" -> (graft.queries.QueriesR2.qSkewSaltedAgg _),
+      "q_ann_ivf" -> (graft.queries.QueriesML.qAnnIvf _),
+      "q_embed_normalize" -> (graft.queries.QueriesML.qEmbedNormalize _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,7 +91,10 @@ object SparkEntry {
       "q_multiline_timeout" -> graft.queries.QueriesR2.qMultilineTimeoutSql,
       "q_doris_table" -> graft.queries.QueriesR2.qDorisTableSql,
       "q_codec_meters" -> graft.queries.QueriesR2.qCodecMetersSql,
-      "q_unset_field" -> graft.queries.QueriesR2.qUnsetFieldSql
+      "q_unset_field" -> graft.queries.QueriesR2.qUnsetFieldSql,
+      "q_skew_salted_agg" -> graft.queries.QueriesR2.qSkewSaltedAggSql,
+      "q_ann_ivf" -> graft.queries.QueriesML.qAnnIvfSql,
+      "q_embed_normalize" -> graft.queries.QueriesML.qEmbedNormalizeSql
     )
   }
 }

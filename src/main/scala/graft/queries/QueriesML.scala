@@ -205,6 +205,65 @@ object QueriesML {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // IVF ANN top-k — the scale path for large query sets: corpus binned
+  // into nlist coarse cells (deterministic centroids = first nlist
+  // vectors), each query probes its nprobe nearest cells only, so
+  // per-query work is ~corpus/nlist×nprobe instead of the full corpus.
+  // Oracle mirrors the identical assignment + probing in SQL.
+  // ---------------------------------------------------------------
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+  val qAnnIvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+      |corpus_assign AS (
+      |  SELECT vec_id, v, cent_id FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+      |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+      |query_assign AS (
+      |  SELECT vec_id AS query_id, v AS qvec, cent_id FROM (
+      |    SELECT e.vec_id, e.v, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+      |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+      |sims AS (SELECT q.query_id, ca.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qvec, ca.v) AS sim
+      |  FROM query_assign q JOIN corpus_assign ca USING (cent_id)
+      |  WHERE ca.vec_id != q.query_id),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+      |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // L2 normalization (embedding preprocessing): per-vector norm and the
+  // first normalized component — pure column fold, no shuffle
+  // ---------------------------------------------------------------
+  def qEmbedNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val v = col("embedding")
+    // + 0.0 normalizes IEEE negative zero: round(-1e-5, 4) yields -0.0 in
+    // one engine and 0.0 in the other — numerically equal, but the
+    // driver's hash stringifies them differently
+    emb.select(
+        col("vec_id"),
+        (round(Ann.l2Norm(v), 4) + lit(0.0)).as("norm"),
+        (round(element_at(v.cast("array<double>"), 1) / Ann.l2Norm(v), 4) + lit(0.0)).as("n1"))
+      .orderBy("vec_id")
+  }
+  val qEmbedNormalizeSql: String =
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) + 0.0 AS norm,
+      |  round(embedding[1]::DOUBLE /
+      |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) + 0.0 AS n1
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Language-ID heuristic
   // ---------------------------------------------------------------
   def qLangId(spark: SparkSession, dir: String): DataFrame =

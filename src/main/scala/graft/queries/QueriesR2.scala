@@ -157,6 +157,22 @@ object QueriesR2 {
       |ORDER BY user_id, first_turn_idx""".stripMargin
 
   // ---------------------------------------------------------------
+  // Salted two-stage aggregation (north rule skew machinery): identical
+  // result to a plain groupBy, but the first shuffle spreads every hot
+  // key over 16 reducer partitions — the shape that survives a conv_id
+  // owning 30% of a 100 TB table
+  // ---------------------------------------------------------------
+  def qSkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.route.Skew.saltedCounts(tbl(spark, dir, "events"),
+        key = "user_id", byteCol = "props", salts = 16)
+      .select(col("user_id"), col("turns"), col("bytes"))
+      .orderBy("user_id")
+  val qSkewSaltedAggSql: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS turns,
+      |  CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS bytes
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Codec meters (filter.go:108-117, multiline.go:268-279):
   // filtered_lines of a filter codec and pending_lines of a multiline
   // codec over the same events stream, one row each, unioned

@@ -129,4 +129,19 @@ object Router {
   def retentionFilter(ts: Column, retentionDays: Int, now: Column): Column =
     date_trunc("DAY", ts).cast("date") >
       date_sub(date_trunc("DAY", now).cast("date"), retentionDays)
+
+  /** The Doris tableManager's create-table-with-day-partitions analog
+    * (`tablemanager.go:131-215`): one write pass materialising every
+    * per-event table (directory) with day partitions inside, retention
+    * applied up front. Layout: `outDir/_table=<name>/_day=<yyyy-MM-dd>/`.
+    */
+  def writeDorisTables(df: DataFrame, tablePattern: String, tsCol: Column,
+      retentionDays: Int, now: Column, outDir: String): Unit =
+    stripMeta(df)
+      .filter(retentionFilter(tsCol, retentionDays, now))
+      .withColumn("_table", dorisTableColumn(df, tablePattern))
+      .withColumn("_day", date_format(tsCol, "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("_table", "_day")
+      .parquet(outDir)
 }

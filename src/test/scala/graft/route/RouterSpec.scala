@@ -45,6 +45,23 @@ class RouterSpec extends SparkTestBase {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_sink=tools")))
   }
 
+  test("doris tableManager analog: per-table day-partitioned write with retention (tablemanager.go:131-275)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-doris").toString
+    val rows = Seq(
+      ("c1", 0, "user", "a", "none", java.sql.Timestamp.valueOf("2026-01-10 00:00:00")),
+      ("c1", 1, "user", "b", "search", java.sql.Timestamp.valueOf("2026-01-09 00:00:00")),
+      ("c2", 0, "user", "c", "none", java.sql.Timestamp.valueOf("2025-12-01 00:00:00")) // stale
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .withColumn("event_ts", col("ts"))
+    Router.writeDorisTables(rows, "logs_%{tool}", col("ts"),
+      retentionDays = 14, now = lit(java.sql.Timestamp.valueOf("2026-01-10 00:00:00")), tmp)
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, p))
+    assert(exists("_table=logs_none/_day=2026-01-10"))
+    assert(exists("_table=logs_search/_day=2026-01-09"))
+    assert(!exists("_table=logs_none/_day=2025-12-01")) // beyond retention
+    assert(spark.read.parquet(tmp).count() == 2)
+  }
+
   test("stripMeta drops @metadata-style columns before write (event.go:346-354)") {
     val withMeta = df.withColumn("_meta_receiver", lit("tcp"))
       .withColumn("_meta", lit("x"))
