@@ -52,7 +52,10 @@ object SparkEntry {
       "q_unset_field" -> (graft.queries.QueriesR2.qUnsetField _),
       "q_skew_salted_agg" -> (graft.queries.QueriesR2.qSkewSaltedAgg _),
       "q_ann_ivf" -> (graft.queries.QueriesML.qAnnIvf _),
-      "q_embed_normalize" -> (graft.queries.QueriesML.qEmbedNormalize _)
+      "q_embed_normalize" -> (graft.queries.QueriesML.qEmbedNormalize _),
+      "q_sample_split" -> (graft.queries.QueriesML.qSampleSplit _),
+      "q_token_hist" -> (graft.queries.QueriesML.qTokenHist _),
+      "q_top_terms" -> (graft.queries.QueriesML.qTopTerms _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,7 +97,10 @@ object SparkEntry {
       "q_unset_field" -> graft.queries.QueriesR2.qUnsetFieldSql,
       "q_skew_salted_agg" -> graft.queries.QueriesR2.qSkewSaltedAggSql,
       "q_ann_ivf" -> graft.queries.QueriesML.qAnnIvfSql,
-      "q_embed_normalize" -> graft.queries.QueriesML.qEmbedNormalizeSql
+      "q_embed_normalize" -> graft.queries.QueriesML.qEmbedNormalizeSql,
+      "q_sample_split" -> graft.queries.QueriesML.qSampleSplitSql,
+      "q_token_hist" -> graft.queries.QueriesML.qTokenHistSql,
+      "q_top_terms" -> graft.queries.QueriesML.qTopTermsSql
     )
   }
 }

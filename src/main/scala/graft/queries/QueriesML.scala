@@ -337,6 +337,67 @@ object QueriesML {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Deterministic content-hash sampling (train/val split): md5 of the
+  // text is stable across engines and reruns — the standard way to
+  // split a 100 TB corpus without a shuffle or a stored assignment
+  // ---------------------------------------------------------------
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val hex1 = substring(md5(col("text")), 1, 1)
+    docs.select(
+        when(hex1.isin("e", "f"), "val").otherwise("train").as("split"),
+        col("lang"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+  val qSampleSplitSql: String =
+    """SELECT CASE WHEN substring(md5(text), 1, 1) IN ('e', 'f')
+      |  THEN 'val' ELSE 'train' END AS split, lang, count(*) AS n
+      |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Token-length histogram (quality filtering staple): corpus length
+  // distribution in one aggregate pass
+  // ---------------------------------------------------------------
+  def qTokenHist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    docs.select((floor(TextAnalysis.wsTokenCount(col("text")) / 50) * 50)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+  }
+  val qTokenHistSql: String =
+    """SELECT CAST(floor((CASE WHEN len(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50) * 50 AS BIGINT) AS bucket,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Top-k terms per language: generator (explode) + per-group ranked
+  // window — the §2.11 "UDTF + top-k" relational categories together
+  // ---------------------------------------------------------------
+  def qTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val words = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = words.groupBy("lang", "w").agg(count(lit(1)).as("n"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("w"))
+    counts.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("w").as("term"), col("n"))
+      .orderBy("lang", "rank")
+  }
+  val qTopTermsSql: String =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |counts AS (SELECT lang, w, count(*) AS n FROM words WHERE len(w) > 0 GROUP BY 1, 2),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |    ORDER BY n DESC, w) AS rank FROM counts)
+      |SELECT lang, rank, w AS term, n FROM ranked WHERE rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // Multimodal plumbing: binary payloads → partition-batched decode
   // ---------------------------------------------------------------
   def qMultimodal(spark: SparkSession, dir: String): DataFrame =
