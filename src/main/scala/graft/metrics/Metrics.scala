@@ -31,6 +31,37 @@ object Metrics {
       rows)
   }
 
+  /** The reference's EWMA speed meter semantics
+    * (`lc-lib/core/util.go:27-47` CalculateSpeed /
+    * CalculateRunningAverage): load-average-style exponential moving
+    * average over `totalPeriods` seconds, seeded with the first
+    * measurement, auto-reset to 0 after 5 idle seconds. Used by the
+    * streaming rate reporting the way the harvester meters `speed_lps`.
+    */
+  final class SpeedMeter(totalPeriods: Double = 5.0) {
+    private var average = 0.0
+    private var secondsNoChange = 0
+
+    def update(periodSec: Double, measurement: Double): Double = {
+      if (measurement == 0) secondsNoChange += math.ceil(periodSec).toInt
+      else secondsNoChange = 0
+      if (secondsNoChange >= 5) {
+        secondsNoChange = 0
+        average = 0.0
+      } else {
+        average =
+          if (average == 0.0) measurement
+          else {
+            val exp = math.exp(periodSec / -totalPeriods)
+            (1 - exp) * measurement + exp * average
+          }
+      }
+      average
+    }
+
+    def value: Double = average
+  }
+
   def toJson(r: Report): String = {
     val sinks = r.sinks.map(s =>
       s"""{"sink":"${s.sink}","turns":${s.turns},"bytes":${s.bytes}}""").mkString(",")

@@ -41,6 +41,21 @@ class MetricsSpec extends SparkTestBase {
     assert(lags.values.forall(_ >= 0L))
   }
 
+  test("EWMA speed meter mirrors CalculateSpeed (core/util.go:27-47)") {
+    val m = new Metrics.SpeedMeter(5.0)
+    // first measurement seeds the average unchanged
+    assert(m.update(1.0, 100.0) == 100.0)
+    // EWMA formula: (1-exp(-1/5))*200 + exp(-1/5)*100
+    val exp = math.exp(-1.0 / 5.0)
+    val want = (1 - exp) * 200.0 + exp * 100.0
+    assert(math.abs(m.update(1.0, 200.0) - want) < 1e-9)
+    // five idle seconds auto-reset to zero
+    for (_ <- 1 to 5) m.update(1.0, 0.0)
+    assert(m.value == 0.0)
+    // and the next measurement re-seeds
+    assert(m.update(1.0, 50.0) == 50.0)
+  }
+
   test("codec meters: filtered_lines counts pattern-collection rejects (filter.go:108-117)") {
     import spark.implicits._
     val df = Seq("keep this", "drop that", "keep too", "drop also", "drop x")
