@@ -114,7 +114,8 @@ object Cel {
     }
     private def parseCmp(): Expr = {
       var l = parseAdd()
-      while (peek.exists(t => Set("==", "!=", "<", "<=", ">", ">=").contains(t.text))) {
+      while (peek.exists(t =>
+          Set("==", "!=", "<", "<=", ">", ">=").contains(t.text) || t.text == "in")) {
         val op = next().text; l = Binary(op, l, parseAdd())
       }
       l
@@ -250,6 +251,10 @@ object Cel {
           case "<=" => lc <= rc
           case ">"  => lc > rc
           case ">=" => lc >= rc
+          // CEL standard `e in list` membership (langdef list-of-standard-
+          // definitions); list operand only (map-key membership is the
+          // documented subset divergence)
+          case "in" => array_contains(rc, lc)
           // CEL `+` is typed; on strings it concatenates. Detect the
           // string case structurally (literal strings / concat results),
           // otherwise emit numeric +; mixed cases resolve at analysis.

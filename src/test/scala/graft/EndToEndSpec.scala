@@ -27,6 +27,19 @@ class EndToEndSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
   }
 
+  test("flagship plan regression guard: shuffle-free parse→enrich→route, broadcast-only joins") {
+    // the scale argument (BENCH.md): the assigned frame must stay ONE
+    // narrow pipeline — a shuffle exchange introduced here would turn a
+    // split-parallel 100 TB job into a cluster-wide repartition
+    val turns = TranscriptGen.generate(spark, 3L, 10L, parallelism = 2).toDF()
+    val assigned = TranscriptPipeline.run(spark, turns)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"flagship plan grew a shuffle exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "enrich joins must be broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
   test("no rows lost or duplicated") {
     assert(engineRows.size == oracle.size)
   }

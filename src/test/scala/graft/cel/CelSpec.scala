@@ -86,6 +86,12 @@ class CelSpec extends SparkTestBase {
     assert(evalBool("double(event.message) > 0.0") == Seq(false, false))
   }
 
+  test("`in` membership operator over lists") {
+    assert(evalBool("\"a\" in event.tags") == Seq(true, false))
+    assert(evalBool("event.num in [7, 9]") == Seq(false, true))
+    assert(evalBool("\"zzz\" in event.tags") == Seq(false, false))
+  }
+
   test("division and modulo by zero are eval errors → branch false, not fatal") {
     assert(evalBool("event.num / (event.num - event.num) > 0") == Seq(false, false))
     assert(evalBool("event.num % (event.num - event.num) == 0") == Seq(false, false))
