@@ -1,0 +1,59 @@
+package graft.route
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** JDAT wire-format round-trip — `protocoljdat.go:42-156` framing,
+  * limits, and identity semantics.
+  */
+class CourierWireSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("frame round-trips: magic, nonce, per-event length prefixes, zlib body") {
+    val events = Seq("""{"a":1}""", """{"b":"two"}""", "").map(_.getBytes("UTF-8"))
+    val n = CourierWire.nonce(42L, 7)
+    val frame = CourierWire.encodeFrame(events, n)
+    assert(new String(frame.take(4), "US-ASCII") == "JDAT")
+    val (nonce, decoded) = CourierWire.decodeFrame(frame)
+    assert(nonce.toSeq == n.toSeq)
+    assert(decoded.map(new String(_, "UTF-8")) == Seq("""{"a":1}""", """{"b":"two"}""", ""))
+  }
+
+  test("guards mirror the reference: short body, bad magic, oversized event") {
+    val ok = CourierWire.encodeFrame(Seq("x".getBytes), CourierWire.nonce(1, 1))
+    // corrupt magic
+    val bad = ok.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](CourierWire.decodeFrame(bad))
+    // body < 17 (protocoljdat.go:42-45)
+    val short = ok.take(8) ++ Array.fill[Byte](3)(0)
+    val shortFixed = {
+      val b = java.nio.ByteBuffer.wrap(short)
+      b.position(4); b.putInt(3); short
+    }
+    intercept[Exception](CourierWire.decodeFrame(shortFixed))
+    // event above the 10 MiB cap refuses to encode
+    intercept[IllegalArgumentException](
+      CourierWire.encodeFrame(Seq(new Array[Byte](CourierWire.MaxEventBytes + 1)),
+        CourierWire.nonce(1, 1)))
+  }
+
+  test("deterministic nonces: a retried (batch, partition) re-emits the same identity") {
+    assert(CourierWire.nonce(5L, 3).toSeq == CourierWire.nonce(5L, 3).toSeq)
+    assert(CourierWire.nonce(5L, 3).toSeq != CourierWire.nonce(5L, 4).toSeq)
+    assert(CourierWire.nonce(5L, 3).length == 16)
+  }
+
+  test("frames() spools a routed batch into bounded frames of wire JSON") {
+    val turns = graft.model.TranscriptGen.generate(spark, 9L, 8L, 2).toDF()
+    val assigned = Router.stripMeta(graft.TranscriptPipeline.run(spark, turns))
+    val total = assigned.count()
+    val frames = CourierWire.frames(assigned, batchId = 1L, spoolSize = 50).collect()
+    val decoded = frames.flatMap(f => CourierWire.decodeFrame(f)._2)
+    assert(decoded.length == total)
+    // every event is the wire JSON (parses, carries conv_id)
+    val node = graft.functions.JsonFlatten.mapper.readTree(new String(decoded.head, "UTF-8"))
+    assert(node.has("conv_id") && node.has("text"))
+    // spool bound respected
+    frames.foreach(f => assert(CourierWire.decodeFrame(f)._2.length <= 50))
+  }
+}

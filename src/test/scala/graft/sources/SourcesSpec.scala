@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkTestBase {
+
+  test("stdin source: one event per line, running byte offsets, '-' path (stdinharvester.go:20-44)") {
+    val in = new java.io.ByteArrayInputStream("first\nsecond line\nthird\n".getBytes("UTF-8"))
+    val df = Sources.stdin(spark, in, parallelism = 2)
+    val rows = df.orderBy("offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("first", 6L, "-"),          // "first\n" = 6 bytes
+      ("second line", 18L, "-"),
+      ("third", 24L, "-")))
+  }
+
+  test("stdin source feeds the normal pipeline (kv parse end-to-end)") {
+    val in = new java.io.ByteArrayInputStream("a=1 b=2\nc=3\n".getBytes("UTF-8"))
+    val df = Sources.stdin(spark, in, parallelism = 2)
+    val parsed = df.select(element_at(graft.functions.KvParse(col("text")), "a").as("a"))
+    assert(parsed.collect().map(_.getString(0)).toSet == Set("1", null))
+  }
+
+  test("socket stream receiver: newline-delimited TCP text, one event per line, no acks (stream/protocol.go:58-77)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      for (i <- 1 to 5) out.println(s"line $i")
+      out.flush()
+      Thread.sleep(3000) // keep the connection open while the stream polls
+      sock.close(); server.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val df = Sources.socketStream(spark, "localhost", port)
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("sock_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < 5 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        n = spark.sql("SELECT count(*) FROM sock_test").collect()(0).getLong(0)
+      }
+      assert(n == 5, s"expected 5 streamed lines, saw $n")
+      val texts = spark.sql("SELECT text FROM sock_test").collect().map(_.getString(0)).toSet
+      assert(texts == (1 to 5).map(i => s"line $i").toSet)
+    } finally q.stop()
+  }
+}
