@@ -79,4 +79,33 @@ object StreamingPipeline {
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide),
         col(Router.SinkCol).as("sink"))
       .agg(count(lit(1)).as("turns"), sum(octet_length(col("text"))).as("bytes"))
+
+  /** Live `speed_lps` meter per query (the harvester EWMA,
+    * `lc-lib/harvester/harvester.go:540-541` via `core/util.go:27-47`):
+    * a StreamingQueryListener feeding each micro-batch's row count and
+    * duration into a [[graft.metrics.Metrics.SpeedMeter]]. Read
+    * `speedFor(queryId)` any time — the admin-API polling analog.
+    */
+  final class SpeedListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val meters =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, graft.metrics.Metrics.SpeedMeter]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      meters.putIfAbsent(e.id, new graft.metrics.Metrics.SpeedMeter(5.0))
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val m = meters.computeIfAbsent(e.progress.id,
+        _ => new graft.metrics.Metrics.SpeedMeter(5.0))
+      val sec = math.max(e.progress.batchDuration / 1000.0, 1e-3)
+      m.synchronized { m.update(sec, e.progress.numInputRows / sec) }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    def speedFor(id: java.util.UUID): Double =
+      Option(meters.get(id)).map(_.value).getOrElse(0.0)
+  }
+
+  def attachSpeedListener(spark: SparkSession): SpeedListener = {
+    val l = new SpeedListener
+    spark.streams.addListener(l)
+    l
+  }
 }

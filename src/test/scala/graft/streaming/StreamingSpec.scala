@@ -78,6 +78,28 @@ class StreamingSpec extends SparkTestBase {
     assert(key(streamed) == key(batch))
   }
 
+  test("speed listener meters live rows/sec per query (harvester.go:540-541 EWMA analog)") {
+    val tmp = Files.createTempDirectory("graft-speed").toString
+    TranscriptGen.generate(spark, 55L, 10L, 2).toDF().write.parquet(s"$tmp/in")
+    val listener = StreamingPipeline.attachSpeedListener(spark)
+    try {
+      val q = spark.readStream.schema(graft.model.Turn.schema).parquet(s"$tmp/in")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$tmp/out/batch=$id"): Unit
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      // listener events are async — wait for the progress to land
+      val deadline = System.currentTimeMillis() + 20000
+      while (listener.speedFor(q.id) == 0.0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(listener.speedFor(q.id) > 0.0, "EWMA speed should reflect processed rows")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("checkpoint resume: restarted stream processes only new files (registrar analog)") {
     val tmp = Files.createTempDirectory("graft-resume").toString
     val in = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val out = s"$tmp/out"
