@@ -33,8 +33,6 @@ object SparkEntry {
       "q_dedup_exact" -> (graft.queries.QueriesML.qDedupExact _),
       "q_dedup_pairs" -> (graft.queries.QueriesML.qDedupPairs _),
       "q_dedup_minhash" -> (graft.queries.QueriesML.qDedupMinhash _),
-      // rows-only: FNV fingerprint not expressible in DuckDB SQL (no
-      // oracleSql entry by design; exactness proven in DedupSpec)
       "q_dedup_simhash" -> (graft.queries.QueriesML.qDedupSimhash _),
       "q_dedup_clusters" -> (graft.queries.QueriesML.qDedupClusters _),
       "q_ann_cosine" -> (graft.queries.QueriesML.qAnnCosine _),
@@ -81,6 +79,7 @@ object SparkEntry {
       "q_dedup_exact" -> graft.queries.QueriesML.qDedupExactSql,
       "q_dedup_pairs" -> graft.queries.QueriesML.qDedupPairsSql,
       "q_dedup_minhash" -> graft.queries.QueriesML.qDedupMinhashSql,
+      "q_dedup_simhash" -> graft.queries.QueriesML.qDedupSimhashSql,
       "q_dedup_clusters" -> graft.queries.QueriesML.qDedupClustersSql,
       "q_ann_cosine" -> graft.queries.QueriesML.qAnnCosineSql,
       "q_embed_neardup" -> graft.queries.QueriesML.qEmbedNearDupSql,

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *   - operators: `|| && ! == != < <= > >= + - * / %`, parentheses,
   *     ternary `?:`;
   *   - macros: `has(event.f)`, `x.map(v, expr)`, `x.filter(v, expr)`;
-  *   - functions: `int() double() string() size()`;
-  *   - string methods: `startsWith endsWith contains matches`.
+  *   - functions: `int() double() string() size()` — `size()` is
+  *     polymorphic per `ext.Strings()` (code points on strings, element
+  *     count on lists/maps), dispatched statically via the schema;
+  *   - string methods: `startsWith endsWith contains matches`;
+  *   - `json.encode/decode` and `base64.encode/decode` (the custom json
+  *     lib + `ext.Encoders()`, `cel.go:40-44`).
   *
   * Compiles directly to a Catalyst Column tree — no per-row interpreter —
   * so conditional pipelines stay inside whole-stage codegen. Branch
@@ -217,13 +221,20 @@ object Cel {
   /** @param resolve maps an `event.`-rooted field path (dots joined) to a
     *                Column; the pipeline supplies envelope-aware resolution
     *                (top-level columns vs the `fields` map vs `tags`).
+    * @param typeOf  optional static type of an `event.`-rooted path (the
+    *                pipeline supplies `Pipeline.typeOf(df)`) — used to
+    *                dispatch the polymorphic `size()` (code points on
+    *                strings vs element count on lists/maps, the
+    *                `ext.Strings()` surface `cel.go:40-44`).
     */
-  def compile(src: String, resolve: String => Column): Column =
-    toColumn(parse(src), resolve, Map.empty)
+  def compile(src: String, resolve: String => Column,
+      typeOf: String => Option[org.apache.spark.sql.types.DataType] = _ => None): Column =
+    toColumn(parse(src), resolve, Map.empty, typeOf)
 
   private def toColumn(e: Expr, resolve: String => Column,
-      vars: Map[String, Column]): Column = {
-    def go(x: Expr): Column = toColumn(x, resolve, vars)
+      vars: Map[String, Column],
+      typeOf: String => Option[org.apache.spark.sql.types.DataType]): Column = {
+    def go(x: Expr): Column = toColumn(x, resolve, vars, typeOf)
     e match {
       case Lit(null) => lit(null)
       case Lit(v) => lit(v)
@@ -280,10 +291,18 @@ object Cel {
       case Call("double", List(arg)) => go(arg).try_cast("double")
       case Call("string", List(arg)) => go(arg).cast("string")
       case Call("size", List(arg)) =>
-        // CEL size() on lists/maps; for string length use e.g.
-        // `event.text.matches(...)`-style tests or a length field —
-        // documented subset divergence
-        size(go(arg))
+        // CEL size() is polymorphic (cel.go loads ext.Strings()): code
+        // points on strings, element count on lists/maps. Dispatch
+        // statically: structurally-string expressions and event paths the
+        // schema types as STRING get `length` (Spark's length counts code
+        // points, same as CEL); everything else gets collection size.
+        val isStringArg = isStringy(arg) || (arg match {
+          case Ident(name) if name == "event" || name.startsWith("event.") =>
+            typeOf(name.stripPrefix("event").stripPrefix("."))
+              .contains(org.apache.spark.sql.types.StringType)
+          case _ => false
+        })
+        if (isStringArg) length(go(arg)) else size(go(arg))
       case Call(fn, _) => throw new IllegalArgumentException(s"unsupported CEL function: $fn")
       // the reference's custom json CEL library
       // (`lc-lib/processor/ext/json.go:41-77`)
@@ -292,19 +311,25 @@ object Cel {
         org.apache.spark.sql.graftbridge.ColumnBridge.column(
           graft.functions.JsonFlatten(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(a))))
+      // ext.Encoders() (`cel.go:40-44`): base64.encode(bytes) → string,
+      // base64.decode(string) → bytes. CEL bytes map to BINARY columns;
+      // a string operand to encode is coerced (CEL configs usually write
+      // base64.encode(b"..."), but a column carries the bytes either way).
+      case Method(Ident("base64"), "encode", List(a)) => base64(go(a).cast("binary"))
+      case Method(Ident("base64"), "decode", List(a)) => unbase64(go(a))
       case Method(t, "startsWith", List(a)) => go(t).startsWith(go(a))
       case Method(t, "endsWith", List(a)) => go(t).endsWith(go(a))
       case Method(t, "contains", List(a)) => go(t).contains(go(a))
       case Method(t, "matches", List(Lit(re: String))) => go(t).rlike(re)
       case Method(t, name, _) => throw new IllegalArgumentException(s"unsupported CEL method: $name")
       case Macro(t, "map", v, body) =>
-        transform(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+        transform(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
       case Macro(t, "filter", v, body) =>
-        filter(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+        filter(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
       case Macro(t, "exists", v, body) =>
-        exists(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+        exists(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
       case Macro(t, "all", v, body) =>
-        forall(go(t), x => toColumn(body, resolve, vars + (v -> x)))
+        forall(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
       case other => throw new IllegalArgumentException(s"unsupported CEL expr: $other")
     }
   }
@@ -312,6 +337,9 @@ object Cel {
   private def isStringy(e: Expr): Boolean = e match {
     case Lit(_: String) => true
     case Binary("+", l, r) => isStringy(l) || isStringy(r)
+    case Call("string", _) => true
+    case Method(Ident("json"), "encode", _) => true
+    case Method(Ident("base64"), "encode", _) => true
     case _ => false
   }
 }

@@ -122,7 +122,8 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src").withColumnRenamed("cluster", "srcCluster"), "src")
         .groupBy(col("dst").as("id"))
@@ -131,10 +132,26 @@ object Dedup {
       // and the next labels (no separate diff join)
       val merged = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
       changed = merged.filter(col("nbr") < col("cluster")).count()
-      labels = merged.select(col("id"),
+      val propagated = merged.select(col("id"),
         least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+      // pointer jumping: follow cluster → label(cluster) once per round,
+      // so a chain component's reach doubles each round and convergence is
+      // O(log diameter) — a plain neighbor walk needs O(diameter) rounds
+      // and a 10⁶-long dup chain would exhaust any fixed cap
+      val byId = propagated.select(col("id").as("_pid"), col("cluster").as("_pcluster"))
+      labels = propagated
+        .join(byId, propagated("cluster") === byId("_pid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_pcluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
       rounds += 1
     }
+    // silent non-convergence would split one true cluster into several
+    // labels and dedupByClusters would keep extra duplicates
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds " +
+          "(component diameter > 2^50 is not a real graph — investigate)")
     labels.select("id", "cluster")
   }
 

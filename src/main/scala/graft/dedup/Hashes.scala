@@ -2,23 +2,26 @@ package graft.dedup
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic hash primitives shared by the dedup operators and their
-  * test oracles. Self-contained (FNV-1a + splitmix64) so the exact same
-  * signatures are computable anywhere — no dependence on engine-specific
-  * hash functions.
+  * test oracles. Self-contained (FNV-1a + splitmix64 + an md5-derived
+  * 64-bit token hash) so the exact same signatures are computable
+  * anywhere — the md5 form is additionally expressible in ANSI-ish SQL
+  * (`CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT)`), which is what
+  * lets the SimHash pipeline be verified by an external SQL oracle.
   */
 object Hashes {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 
-  def fnv64(s: String): Long = {
-    val bytes = s.getBytes("UTF-8")
+  def fnv64(s: String): Long = fnv64(s.getBytes("UTF-8"))
+
+  def fnv64(bytes: Array[Byte]): Long = {
     var h = FnvOffset
     var i = 0
     while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= FnvPrime; i += 1 }
@@ -32,35 +35,68 @@ object Hashes {
     z ^ (z >>> 31)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5, big-endian — the same 64-bit value as parsing
+    * the first 16 hex chars of the md5 text digest, so any engine with an
+    * md5 function can reproduce it exactly.
+    */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  def md5Hash64(s: String): Long = md5Hash64(s.getBytes("UTF-8"))
+
   /** MinHash signature of a set of strings: k independent permutation
     * mins via seed-mixed FNV hashes. Pure function; used by the
     * [[MinHashSig]] expression and the ScalaTest oracle.
     */
   def minHashSig(items: Iterator[String], k: Int): Array[Long] = {
+    val seeds = minHashSeeds(k)
     val sig = Array.fill(k)(Long.MaxValue)
-    while (items.hasNext) {
-      val h = fnv64(items.next())
-      var i = 0
-      while (i < k) {
-        val v = mix64(h ^ mix64(i + 1L))
-        if (v < sig(i)) sig(i) = v
-        i += 1
-      }
-    }
+    while (items.hasNext) minHashAccum(fnv64(items.next()), seeds, sig)
     sig
   }
 
-  /** 64-bit SimHash over a token multiset (unit weights). */
+  def minHashSeeds(k: Int): Array[Long] =
+    Array.tabulate(k)(i => mix64(i + 1L))
+
+  def minHashAccum(h: Long, seeds: Array[Long], sig: Array[Long]): Unit = {
+    var i = 0
+    while (i < seeds.length) {
+      val v = mix64(h ^ seeds(i))
+      if (v < sig(i)) sig(i) = v
+      i += 1
+    }
+  }
+
+  /** 64-bit SimHash over a token multiset (unit weights). Token hash is
+    * md5-derived ([[md5Hash64]]) so the whole fingerprint is reproducible
+    * in SQL engines — see `QueriesML.qDedupSimhashSql`.
+    */
   def simHash64(tokens: Iterator[String]): Long = {
     val acc = new Array[Int](64)
-    while (tokens.hasNext) {
-      val h = fnv64(tokens.next())
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
-      }
+    while (tokens.hasNext) simHashAccum(md5Hash64(tokens.next()), acc)
+    simHashFinish(acc)
+  }
+
+  def simHashAccum(h: Long, acc: Array[Int]): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+      b += 1
     }
+  }
+
+  def simHashFinish(acc: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
@@ -70,20 +106,37 @@ object Hashes {
 
 /** MinHash signature as a single-pass Catalyst expression over a shingle
   * array — the scale-correct form: k×|shingles| mixes in one JVM loop
-  * instead of k separate array traversals in the plan.
+  * instead of k separate array traversals in the plan. Fully codegen'd
+  * (participates in whole-stage codegen) and hashes the UTF-8 bytes
+  * directly — no String round-trip per shingle.
   */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig"
   override val dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  @transient private lazy val seeds: Array[Long] = Hashes.minHashSeeds(k)
+
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): ArrayData = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val it = (0 until n).iterator.map(i => arr.getUTF8String(i).toString)
-    new GenericArrayData(Hashes.minHashSig(it, k).map(Long.box: Long => Any))
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = Hashes.fnv64(arr.getUTF8String(j).getBytes)
+      Hashes.minHashAccum(h, seeds, sig)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
@@ -92,18 +145,31 @@ object MinHashSig {
     EU.column(MinHashSig(EU.expression(c), k))
 }
 
-/** 64-bit SimHash of a token array as one expression. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+/** 64-bit SimHash of a token array as one codegen'd expression. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
   override val dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = java.lang.Long.valueOf(compute(input))
+
+  def compute(input: Any): Long = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val it = (0 until n).iterator.map(i => arr.getUTF8String(i).toString)
-    java.lang.Long.valueOf(Hashes.simHash64(it))
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      Hashes.simHashAccum(Hashes.md5Hash64(arr.getUTF8String(j).getBytes), acc)
+      j += 1
+    }
+    Hashes.simHashFinish(acc)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 

@@ -53,9 +53,16 @@ object GeoIp {
   }
 
   /** Broadcast-enrich `df` with the geo struct of `ipCol` at
-    * `targetCol.targetField` (default `source[geo]`). Adds the failure
-    * tag/error for syntactically invalid IPs; leaves valid-but-unknown
-    * IPs untouched.
+    * `targetCol.targetField` (default `source[geo]`). On a successful
+    * lookup the geo struct is MERGED into an existing struct target with
+    * `withField`, preserving sibling fields (actiongeoip.go:139-162 sets
+    * keys into the resolved target map, it never replaces the map); a
+    * non-struct pre-existing target is replaced by a one-field struct
+    * (documented divergence: a SQL column has one static type, where the
+    * reference would error per event). Invalid IPs get BOTH the
+    * `_geoip_failure` tag and the `_geoip_error` field (the `AddError`
+    * convention, event.go:293-296); valid-but-unknown IPs are left
+    * untouched.
     */
   def enrich(df: DataFrame, ipCol: Column, lookup: DataFrame,
       targetCol: String = "source", targetField: String = "geo"): DataFrame = {
@@ -64,18 +71,41 @@ object GeoIp {
       .join(broadcast(lookup.withColumnRenamed("ip", "_geoip_key")),
         Seq("_geoip_key"), "left")
     val invalid = col("_geoip_key").isNotNull && !col("_geoip_key").rlike(Ipv4Re)
-    val target =
-      if (joined.columns.contains(targetCol))
-        when(col("_geo").isNotNull, struct(col("_geo").as(targetField)))
+    val geoType = lookup.schema("_geo").dataType
+    val target = df.schema.fields.find(_.name == targetCol) match {
+      case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
+          && f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains(targetField) =>
+        // target struct already carries the field: only overwrite on a
+        // successful lookup (branch types match — both have the field)
+        when(col("_geo").isNotNull, col(targetCol).withField(targetField, col("_geo")))
           .otherwise(col(targetCol))
-      else
+      case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        // adding a new field: apply withField unconditionally so the
+        // column type is uniform — a missed lookup leaves a null geo
+        // field, siblings always preserved
+        col(targetCol).withField(targetField, col("_geo"))
+      case Some(_) =>
         when(col("_geo").isNotNull, struct(col("_geo").as(targetField)))
+          .otherwise(struct(lit(null).cast(geoType).as(targetField)))
+      case None =>
+        when(col("_geo").isNotNull, struct(col("_geo").as(targetField)))
+    }
     val tagged =
       if (joined.columns.contains(Envelope.TagsCol))
         joined.withColumn(Envelope.TagsCol,
           EventFns.withActionFailure(col(Envelope.TagsCol), invalid, "geoip"))
       else joined
-    tagged
+    val errMsg = lit("Field is not a valid IP address")
+    val withErr =
+      if (tagged.columns.contains(Envelope.FieldsCol))
+        tagged.withColumn(Envelope.FieldsCol,
+          when(invalid, graft.pipeline.Pipeline.mergeMaps(col(Envelope.FieldsCol),
+            map(lit("_geoip_error"), errMsg)))
+            .otherwise(col(Envelope.FieldsCol)))
+      else
+        tagged.withColumn("_geoip_error", when(invalid, errMsg))
+    withErr
       .withColumn(targetCol, target)
       .drop("_geoip_key", "_geo")
   }

@@ -104,15 +104,22 @@ object EventFns {
   }
 
   /** RFC3339-or-now timestamp normalisation
-    * (`lc-lib/event/event.go:129-151`): a string timestamp must parse as
-    * RFC3339; otherwise fall back to `fallback` and tag
-    * `_timestamp_parse_failure`. Returns (event_ts, failedFlag) columns.
+    * (`lc-lib/event/event.go:129-151` via `lc-lib/event/timestamp.go:34-46`,
+    * which accepts RFC3339Nano — any fractional width up to nanoseconds):
+    * a string timestamp must parse as RFC3339; otherwise fall back to
+    * `fallback` and tag `_timestamp_parse_failure`. Returns
+    * (event_ts, failedFlag) columns. Nanosecond fractions are truncated to
+    * Spark's microsecond timestamp precision (the reference keeps nanos —
+    * documented divergence: sub-microsecond digits don't survive a
+    * TIMESTAMP column in any SQL engine).
     */
   def normalizeTimestamp(raw: Column, fallback: Column): (Column, Column) = {
     val parsed = coalesce(
       try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      // RFC3339Nano (timestamp.go:34-46): 9-digit fractions
+      try_to_timestamp(raw, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX"))
     )
     (coalesce(parsed, fallback), parsed.isNull && raw.isNotNull)
   }

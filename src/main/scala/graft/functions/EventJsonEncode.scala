@@ -50,16 +50,18 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
       case IntegerType => node.put(f.name, row.getInt(i))
       case LongType => node.put(f.name, row.getLong(i))
       case BooleanType => node.put(f.name, row.getBoolean(i))
-      case DoubleType | FloatType =>
+      case DoubleType =>
         // FloatValue rule (`float_value.go:8-26`): always a decimal
         // point, and Go strconv.FormatFloat('f', -1) plain notation —
         // Jackson's default would render 1e10 as "1.0E10"
-        val d = f.dataType match {
-          case DoubleType => row.getDouble(i)
-          case _ => row.getFloat(i).toDouble
-        }
         node.putRawValue(f.name, new com.fasterxml.jackson.databind.util.RawValue(
-          EventJsonEncode.goFloatString(d)))
+          EventJsonEncode.goFloatString(row.getDouble(i))))
+      case FloatType =>
+        // FloatValue32 uses strconv.FormatFloat(..., 32): 32-bit shortest
+        // digits. Widening to double first renders 0.1f as
+        // "0.10000000149011612" — every non-dyadic float would diverge
+        node.putRawValue(f.name, new com.fasterxml.jackson.databind.util.RawValue(
+          EventJsonEncode.goFloat32String(row.getFloat(i))))
       case TimestampType =>
         // RFC3339Nano shape (`timestamp.go:34-46`): fraction trimmed of
         // trailing zeros, no padding (Instant.toString pads to 3/6/9)
@@ -99,7 +101,7 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
                 EventJsonEncode.goFloatString(arr.getDouble(j))))
             case FloatType => jarr.addRawValue(
               new com.fasterxml.jackson.databind.util.RawValue(
-                EventJsonEncode.goFloatString(arr.getFloat(j).toDouble)))
+                EventJsonEncode.goFloat32String(arr.getFloat(j))))
             case BooleanType => jarr.add(arr.getBoolean(j))
             case other =>
               throw new UnsupportedOperationException(s"event_json array: $other (${f.name})")
@@ -162,6 +164,21 @@ object EventJsonEncode {
     // Double.toString yields the shortest round-trip digits; BigDecimal
     // re-renders them in plain notation
     val plain = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .stripTrailingZeros().toPlainString()
+    if (plain.indexOf('.') >= 0) plain else plain + ".0"
+  }
+
+  /** Go `strconv.FormatFloat(f, 'f', -1, 32)` — 32-bit shortest
+    * round-trip digits (FloatValue32, `float_value.go`). Java's
+    * `Float.toString` gives exactly float-shortest digits; BigDecimal
+    * re-renders them in plain (never scientific) notation.
+    */
+  def goFloat32String(f: Float): String = {
+    if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+      return java.lang.Float.toString(f)
+    if (f == 0.0f)
+      return if (1.0f / f < 0) "-0.0" else "0.0"
+    val plain = new java.math.BigDecimal(java.lang.Float.toString(f))
       .stripTrailingZeros().toPlainString()
     if (plain.indexOf('.') >= 0) plain else plain + ".0"
   }

@@ -217,7 +217,7 @@ case class KvStage(field: String, prefix: String = "") extends Stage {
   */
 case class SetFieldStage(field: String, valueCel: String) extends Stage {
   def apply(df: DataFrame, guard: Column): DataFrame = {
-    val value = Cel.compile(valueCel, Pipeline.resolve(df))
+    val value = Cel.compile(valueCel, Pipeline.resolve(df), Pipeline.typeOf(df))
     Pipeline.setField(df, guard, field, value)
   }
 }
@@ -322,7 +322,7 @@ case class ConditionalStage(
     // flip later predicates for already-selected rows.
     val tmpNames = branches.indices.map(i => s"_graft_cond_$i")
     var out = branches.zip(tmpNames).foldLeft(df) { case (d, ((celSrc, _), n)) =>
-      d.withColumn(n, coalesce(Cel.compile(celSrc, Pipeline.resolve(d)), lit(false)))
+      d.withColumn(n, coalesce(Cel.compile(celSrc, Pipeline.resolve(d), Pipeline.typeOf(d)), lit(false)))
     }
     var notPrior: Column = lit(true)
     for (((_, stages), n) <- branches.zip(tmpNames)) {

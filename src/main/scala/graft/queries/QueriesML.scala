@@ -147,15 +147,34 @@ object QueriesML {
 
   // ---------------------------------------------------------------
   // SimHash near-dup pairs (4×16-bit band pigeonhole + hamming verify).
-  // No SQL oracle — the FNV-based 64-bit fingerprint is not expressible
-  // in DuckDB SQL, so the driver records the weaker rows-only check;
-  // DedupSpec proves equality with the naive all-pairs hamming scan.
+  // The 64-bit token hash is md5-derived (first 16 hex chars of the md5
+  // digest — Hashes.md5Hash64) precisely so the whole fingerprint is SQL-
+  // expressible: the oracle recomputes every fingerprint bit-for-bit in
+  // DuckDB and checks pairs with the naive all-pairs hamming scan, which
+  // the banded bucket join must equal exactly (pigeonhole guarantees
+  // recall at hamming ≤ 3; verification removes band-collision extras).
   // ---------------------------------------------------------------
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(tbl(spark, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
       .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
       .orderBy("doc_a", "doc_b")
+  val qDedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '),
+      |    w -> CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT)) AS hs
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 64),
+      |    b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+      |              THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END),
+      |    'bit_or') AS UBIGINT) AS f
+      |  FROM toks)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.f, b.f)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
   // Embedding near-dup pairs via LSH buckets + exact verification —
@@ -187,9 +206,13 @@ object QueriesML {
         transform(col("embedding"), x => x * lit(1.5)).as("embedding"))
     emb.unionByName(copies)
   }
+  // nbits derived from the corpus count (Ann.nbitsFor: ceil(log2 n)+4), so
+  // the bucket space tracks the corpus and within-bucket join work stays
+  // O(1) per vector at any scale; recall on positively-scaled duplicates
+  // is width-independent (identical sign bits), so the oracle equality
+  // holds at every derived width.
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Ann.lshNearDupPairs(embedDedupCorpus(spark, dir), threshold = 0.99, dim = 64,
-        nbits = 8)
+    Ann.lshNearDupPairs(embedDedupCorpus(spark, dir), threshold = 0.99, dim = 64)
       .orderBy("id_a", "id_b")
   val qEmbedNearDupSql: String =
     s"""WITH corpus AS (

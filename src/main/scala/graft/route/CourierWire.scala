@@ -28,12 +28,16 @@ object CourierWire {
   val MaxEventBytes = 10485760
 
   /** Deterministic 16-byte nonce — the reference uses random nonces; a
-    * batch engine derives identity from (batchId, partitionId) so retried
-    * tasks re-emit the SAME nonce and the receiver's dedup works.
+    * batch engine derives identity from (batchId, partitionId, frameIdx)
+    * so retried tasks re-emit the SAME nonce and the receiver's dedup
+    * works. Each component gets its own byte slot (8+4+4) — arithmetic
+    * packing (`pid * 65536 + i`) overflows at partition ids ≥ 32768 and
+    * collides with the next partition once a partition emits ≥ 65536
+    * frames, silently breaking the dedup identity.
     */
-  def nonce(batchId: Long, partitionId: Int): Array[Byte] = {
+  def nonce(batchId: Long, partitionId: Int, frameIdx: Int = 0): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(16)
-    b.putLong(batchId).putInt(partitionId).putInt(0)
+    b.putLong(batchId).putInt(partitionId).putInt(frameIdx)
     b.array()
   }
 
@@ -76,11 +80,30 @@ object CourierWire {
     val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var done = false
     while (!done) {
-      val lenOrEof = try z.readInt() catch { case _: java.io.EOFException => done = true; -1 }
-      if (!done) {
-        require(lenOrEof >= 0 && lenOrEof <= MaxEventBytes, "protocol error: event too large")
-        val e = new Array[Byte](lenOrEof)
-        z.readFully(e)
+      // read the 4-byte length prefix byte-wise: EOF before ANY prefix
+      // byte is the clean end of the event stream; EOF after 1-3 prefix
+      // bytes is a truncated frame and must raise, not silently drop —
+      // mirrors the reference's clean-EOF vs ErrUnexpectedEnd distinction
+      val b0 = z.read()
+      if (b0 < 0) done = true
+      else {
+        val rest = new Array[Byte](3)
+        try z.readFully(rest)
+        catch {
+          case _: java.io.EOFException =>
+            throw new IllegalArgumentException(
+              "protocol error: unexpected end of frame inside an event length prefix")
+        }
+        val len = ((b0 & 0xff) << 24) | ((rest(0) & 0xff) << 16) |
+          ((rest(1) & 0xff) << 8) | (rest(2) & 0xff)
+        require(len >= 0 && len <= MaxEventBytes, "protocol error: event too large")
+        val e = new Array[Byte](len)
+        try z.readFully(e)
+        catch {
+          case _: java.io.EOFException =>
+            throw new IllegalArgumentException(
+              "protocol error: unexpected end of frame inside an event body")
+        }
         events += e
       }
     }
@@ -99,7 +122,7 @@ object CourierWire {
     json.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       it.grouped(spoolSize).zipWithIndex.map { case (group, i) =>
-        encodeFrame(group.map(_.getBytes("UTF-8")), nonce(batchId, pid * 65536 + i))
+        encodeFrame(group.map(_.getBytes("UTF-8")), nonce(batchId, pid, i))
       }
     }
   }

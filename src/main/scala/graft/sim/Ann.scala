@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
@@ -144,15 +144,47 @@ object Ann {
   def lshBuckets(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
     EU.column(LshBucketBits(EU.expression(vec.cast("array<double>")), dim, nbits, seed))
 
+  /** Bucket-id width for a corpus of `n` vectors: ceil(log2 n) + 4, so the
+    * bucket space is ~16× the corpus and expected occupancy stays O(1) as
+    * the corpus grows — a fixed nbits makes the within-bucket self-join
+    * O(n²/2^nbits), i.e. quadratic again at any real scale. Capped at 48
+    * bits (256T buckets — far past any corpus that needs more).
+    */
+  def nbitsFor(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 2L) - 1L)
+    math.min(48, ceilLog2 + 4)
+  }
+
   /** Embedding near-dup pairs above a cosine threshold via LSH buckets +
     * exact verification (deterministic; recall bounded by bucket
-    * granularity — standard LSH tradeoff, verified in AnnSpec).
+    * granularity — standard LSH tradeoff, verified in AnnSpec; positively
+    * scaled duplicates have identical sign bits at ANY width, so
+    * duplicate recall is exact by construction).
+    *
+    * `nbits = 0` (default) derives the width from the corpus count via
+    * [[nbitsFor]] — one cheap count() job — so bucket occupancy stays
+    * bounded as the corpus scales instead of collapsing into an O(n²)
+    * within-bucket join. `maxBucketOccupancy` is the skew guard (the
+    * `maxDf` trick applied to buckets): a bucket holding more vectors
+    * than the cap is dropped from candidate generation before the
+    * self-join — at a sane cap this only ever fires on pathological skew
+    * (e.g. a constant vector repeated millions of times), where the
+    * within-bucket join would otherwise explode.
     */
   def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
-      nbits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      nbits: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucketOccupancy: Long = Long.MaxValue): DataFrame = {
+    val bits = if (nbits > 0) nbits else nbitsFor(df.count())
     val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
-      lshBuckets(col(vecCol).cast("array<double>"), dim, nbits).as("bucket"))
-    b.as("a").join(b.as("b"),
+      lshBuckets(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
+    val kept =
+      if (maxBucketOccupancy == Long.MaxValue) b
+      else {
+        val hot = b.groupBy("bucket").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") > maxBucketOccupancy)
+        b.join(broadcast(hot.select("bucket")), Seq("bucket"), "left_anti")
+      }
+    kept.as("a").join(kept.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("sim", CosineSim(col("a.v"), col("b.v")))
       .filter(col("sim") >= threshold)
@@ -176,31 +208,100 @@ object Ann {
   /** IVF-style top-k: corpus assigned to `nlist` coarse cells (the
     * deterministic first-`nlist` corpus vectors serve as centroids);
     * each query probes its `nprobe` nearest cells only.
+    *
+    * Cell assignment is a per-row argmax over the centroid matrix baked
+    * into ONE fused expression ([[NearestCells]]) — zero shuffle, zero
+    * join. The previous spelling (broadcast-join corpus×nlist then
+    * `row_number` over a per-row window) exchanged nlist× the corpus
+    * through a sort just to pick each row's best cell; at 10⁸ vectors ×
+    * 4096 cells that is a 4×10¹¹-row shuffle for what is arithmetic.
+    * Collecting the centroids to the driver is the IVF contract — the
+    * coarse quantizer is broadcast-sized by definition (nlist rows).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
       nprobe: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cvec"))
-    val wAssign = Window.partitionBy(col("_rid")).orderBy(col("csim").desc, col("cent_id"))
-    def assign(df: DataFrame, rid: Column, vec: Column, probes: Int): DataFrame =
-      df.withColumn("_rid", rid)
-        .join(broadcast(cents), lit(true))
-        .withColumn("csim", CosineSim(vec, col("cvec")))
-        .withColumn("_crank", row_number().over(wAssign))
-        .filter(col("_crank") <= probes)
-        .drop("cvec", "csim", "_crank")
-    val corpusCells = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("nvec")),
-      col("neighbor_id"), col("nvec"), 1)
-    val queryCells = assign(
-      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qvec")),
-      col("query_id"), col("qvec"), nprobe)
+    val centRows = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).cast("long").as("cent_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .collect() // bounded: exactly nlist rows — the quantizer, not the data
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    def cells(vec: Column, probes: Int): Column =
+      EU.column(NearestCells(EU.expression(vec), centIds, centVecs, probes))
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("cent_id", element_at(cells(col("nvec"), 1), 1))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("cent_id", explode(cells(col("qvec"), nprobe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    queryCells.join(corpusCells, Seq("cent_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
+}
+
+/** The `nprobe` nearest coarse cells for a vector, by cosine (ties → lower
+  * cent_id), as ONE fused per-row expression with the centroid matrix baked
+  * in at plan build. Returns the cent ids sorted best-first. Replaces a
+  * corpus×nlist exchange (broadcast join + row_number window) with plain
+  * arithmetic inside whole-stage codegen. Cosine accumulation order is
+  * identical to [[CosineSim]] so rankings agree bit-for-bit with the
+  * join+window spelling (and the SQL oracle).
+  */
+case class NearestCells(child: Expression, centIds: Array[Long],
+    cents: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+  override val dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  def compute(v: Any): ArrayData = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = math.min(nprobe, cents.length)
+    val topSim = new Array[Double](m)
+    val topId = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(arr.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = arr.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      // insertion sort, strict > so equal sims keep the earlier (lower
+      // cent_id, ascending iteration) centroid — matches
+      // ORDER BY sim DESC, cent_id
+      var pos = if (filled < m) filled else m // m = "not inserted" when full
+      var j = filled - 1
+      while (j >= 0 && sim > topSim(j)) { pos = j; j -= 1 }
+      if (pos < m) {
+        if (filled < m) filled += 1
+        var s = filled - 1
+        while (s > pos) { topSim(s) = topSim(s - 1); topId(s) = topId(s - 1); s -= 1 }
+        topSim(pos) = sim
+        topId(pos) = centIds(c)
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(topId, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCells =
+    copy(child = c)
 }

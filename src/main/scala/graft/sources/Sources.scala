@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.io.InputStream
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   *  - S5 stdin (`lc-lib/stdinharvester/stdinharvester.go:20-44`): a
   *    harvester over `os.Stdin` — one event per line, byte offsets, the
-  *    conventional `-` path. Stdin is inherently a single-process feed,
-  *    so the driver reads it and parallelises afterwards; everything
-  *    downstream (codecs, actions, routing) is the normal distributed
-  *    pipeline.
+  *    conventional `-` path. Stdin is inherently a single-process feed
+  *    and UNBOUNDED, so the driver reads it in bounded chunks and spools
+  *    each chunk to a parquet directory; everything downstream (codecs,
+  *    actions, routing) consumes the spool with the normal distributed
+  *    scan — batch via `read`, continuous via `readStream` (which also
+  *    gives stdin the checkpoint/lineage resume semantics the reference
+  *    gets from the registrar).
   *  - S7 stream receiver (`lc-lib/transports/tcp/stream/protocol.go:58-77`):
   *    raw newline-delimited text over TCP, one event per line, NO acks
   *    (`NilNonce`) — which is exactly Structured Streaming's `socket`
@@ -21,24 +25,60 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Spool stdin to parquet in bounded chunks: at most `batchLines` lines
+    * (plus their offsets) are ever resident on the driver — a 100 GB pipe
+    * streams through in O(batch) memory instead of OOMing a driver-side
+    * `toSeq`. Each chunk is one atomic parquet append, so an incremental
+    * scan over `spoolDir` picks chunks up as they land. Returns the chunk
+    * count.
+    */
+  def spoolStdin(spark: SparkSession, in: InputStream, spoolDir: String,
+      batchLines: Int = 1 << 16, parallelism: Int = 8): Int = {
+    import spark.implicits._
+    val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    var off = 0L
+    var chunks = 0
+    while (it.hasNext) {
+      val batch = new scala.collection.mutable.ArrayBuffer[(String, Long)](
+        math.min(batchLines, 1 << 16))
+      while (it.hasNext && batch.size < batchLines) {
+        val line = it.next()
+        off += line.getBytes("UTF-8").length + 1 // +1 = the newline
+        batch += ((line, off))
+      }
+      spark.createDataset(batch.toSeq).toDF("text", "offset")
+        .withColumn("path", lit("-"))
+        .repartition(parallelism)
+        .write.mode("append").parquet(spoolDir)
+      chunks += 1
+    }
+    chunks
+  }
+
   /** One event per stdin line with the harvester's running byte offset
     * (offset = end of line in the stream, like the registrar records).
+    * Convenience wrapper over [[spoolStdin]] for bounded inputs: spools to
+    * a temp directory and returns the scan — driver memory stays bounded
+    * by `batchLines` regardless of input size.
     */
   def stdin(spark: SparkSession, in: InputStream = System.in,
-      parallelism: Int = 8): DataFrame = {
-    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-    val withOffsets = lines.scanLeft(("", 0L)) { case ((_, off), line) =>
-      (line, off + line.getBytes("UTF-8").length + 1) // +1 = the newline
-    }.drop(1)
+      parallelism: Int = 8, batchLines: Int = 1 << 16): DataFrame = {
     import spark.implicits._
-    withOffsets.toDF("text", "offset")
-      .withColumn("path", lit("-"))
-      .repartition(parallelism)
+    val spoolDir = Files.createTempDirectory("graft_stdin_spool").toString
+    val chunks = spoolStdin(spark, in, spoolDir, batchLines, parallelism)
+    if (chunks == 0)
+      Seq.empty[(String, Long)].toDF("text", "offset").withColumn("path", lit("-"))
+    else spark.read.parquet(spoolDir)
   }
 
   /** Newline-delimited TCP text as an unacked event stream — column names
     * match the stdin shape (`text`; no offsets: the reference stream
-    * receiver has none either, it acks nothing).
+    * receiver has none either, it acks nothing). Carries the connection
+    * metadata the reference attaches under `@metadata[receiver]`
+    * (`lc-lib/receiver/metadata_receiver.go:22-32`, `receiver/pool.go:237`)
+    * as a `_meta_receiver` struct — meta-prefixed, so every sink strips it
+    * (`Router.stripMeta`), exactly like the reference never ships
+    * `@metadata` fields.
     */
   def socketStream(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream
@@ -48,4 +88,8 @@ object Sources {
       .load()
       .withColumnRenamed("value", "text")
       .withColumn("path", lit(s"tcp://$host:$port"))
+      .withColumn("_meta_receiver", struct(
+        lit(host).as("remote_host"),
+        lit(port).as("remote_port"),
+        lit("tcp-stream").as("protocol")))
 }

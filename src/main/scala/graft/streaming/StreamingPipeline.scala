@@ -52,10 +52,18 @@ object StreamingPipeline {
     * conversation with an event-time session gap; the watermark flushes a
     * session once no line can arrive within the gap — exactly the
     * deadline-routine semantics, but driven by event time.
+    *
+    * `maxBytes` mirrors the batch sessioniser's hard cap
+    * (`multiline.go:199-223` — the codec enforces it per stream, so the
+    * streaming path must too): each assembled session's joined text is
+    * split every `maxBytes` BYTES with rune-safe back-off
+    * ([[graft.functions.Utf8ChunkBytes]]), one output row per chunk with
+    * its `chunk_idx`. The split is a per-row generator AFTER the stateful
+    * aggregation, so it adds no state and no extra shuffle.
     */
   def sessionAssemble(turns: DataFrame, gap: String = "10 minutes",
-      watermark: String = "30 minutes"): DataFrame =
-    turns
+      watermark: String = "30 minutes", maxBytes: Option[Int] = None): DataFrame = {
+    val assembled = turns
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("conv_id"))
       .agg(
@@ -67,6 +75,16 @@ object StreamingPipeline {
           x => x.getField("t")), "\n").as("text"))
       .select(col("conv_id"), col("session_window.start").as("session_start"),
         col("first_turn_idx"), col("last_turn_idx"), col("n_lines"), col("text"))
+    maxBytes match {
+      case None => assembled
+      case Some(max) =>
+        assembled
+          .select(col("conv_id"), col("session_start"), col("first_turn_idx"),
+            col("last_turn_idx"), col("n_lines"),
+            posexplode(graft.functions.Utf8ChunkBytes(col("text"), max))
+              .as(Seq("chunk_idx", "text")))
+    }
+  }
 
   /** Windowed per-sink throughput counters — the admin-API live metrics
     * (`speed_lps`-style, 5 s EWMA analog becomes a sliding event-time

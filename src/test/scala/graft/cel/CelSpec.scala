@@ -92,6 +92,35 @@ class CelSpec extends SparkTestBase {
     assert(evalBool("\"zzz\" in event.tags") == Seq(false, false))
   }
 
+  test("size() on strings counts code points; on collections counts elements (ext.Strings)") {
+    val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
+      p => if (p == "message") Some(org.apache.spark.sql.types.StringType) else None
+    val strLen = df.select(Cel.compile("size(event.message)", resolve, typeOf))
+      .as[Int].collect().toSeq
+    assert(strLen == Seq("ERROR something bad".length, "info all fine".length))
+    val listLen = df.select(Cel.compile("size(event.tags)", resolve, typeOf))
+      .as[Int].collect().toSeq
+    assert(listLen == Seq(2, 1))
+    // literal strings dispatch structurally, no schema needed; multi-byte
+    // text counts CODE POINTS (CEL semantics), not bytes
+    val cp = df.select(Cel.compile("size(\"héllo 日本\")", resolve))
+      .as[Int].collect()(0)
+    assert(cp == 8)
+  }
+
+  test("base64.encode/decode (ext.Encoders, cel.go:40-44)") {
+    val enc = df.select(Cel.compile("base64.encode(event.message)", resolve))
+      .as[String].collect()
+    assert(enc(1) ==
+      java.util.Base64.getEncoder.encodeToString("info all fine".getBytes("UTF-8")))
+    val rt = df.select(Cel.compile(
+      "string(base64.decode(base64.encode(event.message)))", resolve))
+      .as[String].collect()
+    assert(rt(0) == "ERROR something bad")
+    assert(evalBool("base64.encode(event.message) == \"aW5mbyBhbGwgZmluZQ==\"")
+      == Seq(false, true))
+  }
+
   test("division and modulo by zero are eval errors → branch false, not fatal") {
     assert(evalBool("event.num / (event.num - event.num) > 0") == Seq(false, false))
     assert(evalBool("event.num % (event.num - event.num) == 0") == Seq(false, false))

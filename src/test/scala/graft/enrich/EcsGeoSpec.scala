@@ -77,6 +77,38 @@ class EcsGeoSpec extends SparkTestBase {
     assert(out(2) == ((true, "_geoip_failure")))    // not dotted-quad
   }
 
+  test("geoip merges into an existing struct target, preserving sibling fields (actiongeoip.go:139-162)") {
+    val df = Seq(("81.2.69.142", "10.0.0.1"), ("192.0.2.1", "10.0.0.2")).toDF("ip", "addr")
+      .withColumn("source", struct(col("addr").as("address")))
+      .withColumn(Envelope.TagsCol, array().cast("array<string>"))
+    val out = GeoIp.enrich(df, col("ip"), GeoIp.lookupFrame(spark, geoDb))
+      .select(col("ip"), col("source.address"), col("source.geo.city_name"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // known IP: geo ADDED, sibling `address` untouched
+    assert(out("81.2.69.142") == (("10.0.0.1", "London")))
+    // unknown IP: struct untouched entirely (geo field null, sibling kept)
+    assert(out("192.0.2.1") == (("10.0.0.2", null)))
+  }
+
+  test("geoip invalid IP sets the _geoip_error field alongside the failure tag (event.AddError)") {
+    // with a fields map: the AddError convention writes into it
+    val df = Seq(("999.1.2.3", 0), ("81.2.69.142", 1)).toDF("ip", "i")
+      .withColumn(Envelope.TagsCol, array().cast("array<string>"))
+      .withColumn(Envelope.FieldsCol,
+        map(lit("keep"), lit("v")).cast("map<string,string>"))
+    val out = GeoIp.enrich(df, col("ip"), GeoIp.lookupFrame(spark, geoDb))
+      .select(col("i"), element_at(col(Envelope.FieldsCol), "_geoip_error").as("err"),
+        element_at(col(Envelope.FieldsCol), "keep").as("keep"))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(0)._1 != null && out(0)._1.contains("not a valid IP"))
+    assert(out(0)._2 == "v", "existing fields survive the error merge")
+    assert(out(1)._1 == null, "valid IPs get no error field")
+    // without a fields map: a top-level _geoip_error column
+    val df2 = Seq(("not an ip", 0)).toDF("ip", "i")
+    val out2 = GeoIp.enrich(df2, col("ip"), GeoIp.lookupFrame(spark, geoDb))
+    assert(out2.select("_geoip_error").collect()(0).getString(0).contains("not a valid IP"))
+  }
+
   test("GeoIpStage respects guards and the source[geo] default target") {
     val df = base
     val out = Pipeline(df, Seq(

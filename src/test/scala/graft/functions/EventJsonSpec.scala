@@ -30,6 +30,37 @@ class EventJsonSpec extends SparkTestBase {
     assert(node.get("ts").asText() == "2026-01-01T00:00:00Z")
   }
 
+  test("FloatType renders 32-bit shortest digits (FloatValue32, strconv.FormatFloat(...,32))") {
+    import EventJsonEncode.goFloat32String
+    // widening 0.1f to double renders "0.10000000149011612"; the 32-bit
+    // path must give Go's float32 shortest form
+    assert(goFloat32String(0.1f) == "0.1")
+    assert(goFloat32String(1.5f) == "1.5")
+    assert(goFloat32String(87f) == "87.0")
+    assert(goFloat32String(0.0f) == "0.0")
+    assert(goFloat32String(-0.0f) == "-0.0")
+    assert(goFloat32String(1.0e10f) == "10000000000.0")
+    val df = Seq((0.1f, Seq(0.3f, 2.5f))).toDF("f", "fs")
+    val json = df.select(EventJsonEncode(struct(col("f"), col("fs"))).as("j"))
+      .as[String].collect()(0)
+    assert(json == """{"f":0.1,"fs":[0.3,2.5]}""")
+  }
+
+  test("RFC3339Nano (9-digit fraction) timestamps parse without a failure tag (timestamp.go:34-46)") {
+    val df = Seq(
+      "2026-01-01T00:00:00.123456789Z", // nano — the reference accepts this
+      "2026-01-01T00:00:00.123456Z",
+      "2026-01-01T00:00:00Z",
+      "not a timestamp").toDF("raw")
+    val (ts, failed) = EventFns.normalizeTimestamp(col("raw"), lit(null).cast("timestamp"))
+    val rows = df.select(ts.as("ts"), failed.as("failed")).collect()
+    assert(!rows(0).getBoolean(1), "nano-fraction timestamp must parse")
+    // truncated to Spark's microsecond precision
+    assert(rows(0).getTimestamp(0).toInstant.toString == "2026-01-01T00:00:00.123456Z")
+    assert(!rows(1).getBoolean(1) && !rows(2).getBoolean(1))
+    assert(rows(3).getBoolean(1), "garbage still tags _timestamp_parse_failure")
+  }
+
   test("Go FormatFloat('f',-1) plain notation — never scientific (pattern of Event.Bytes)") {
     import EventJsonEncode.goFloatString
     assert(goFloatString(1.0e10) == "10000000000.0")

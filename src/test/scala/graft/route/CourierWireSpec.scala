@@ -43,6 +43,31 @@ class CourierWireSpec extends SparkTestBase {
     assert(CourierWire.nonce(5L, 3).length == 16)
   }
 
+  test("nonce slots never collide across partition/frame boundaries") {
+    // the old arithmetic packing (pid * 65536 + i) made these equal
+    assert(CourierWire.nonce(1L, 1, 0).toSeq != CourierWire.nonce(1L, 0, 65536).toSeq)
+    // and overflowed at pid >= 32768
+    assert(CourierWire.nonce(1L, 32768, 0).toSeq != CourierWire.nonce(1L, 32767, 65536).toSeq)
+    assert(CourierWire.nonce(1L, 3, 7).toSeq == CourierWire.nonce(1L, 3, 7).toSeq)
+  }
+
+  test("truncated event-length prefix raises a protocol error instead of silently dropping data") {
+    import java.io.{ByteArrayOutputStream, DataOutputStream}
+    import java.util.zip.{Deflater, DeflaterOutputStream}
+    val evBuf = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(new DeflaterOutputStream(evBuf, new Deflater(3)))
+    dos.writeInt(3); dos.write("abc".getBytes("UTF-8"))
+    dos.writeShort(9) // 2 stray bytes: a prefix truncated mid-write
+    dos.close()
+    val body = evBuf.toByteArray
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeBytes("JDAT"); d.writeInt(16 + body.length)
+    d.write(CourierWire.nonce(1L, 1)); d.write(body); d.flush()
+    val e = intercept[IllegalArgumentException](CourierWire.decodeFrame(out.toByteArray))
+    assert(e.getMessage.contains("unexpected end"))
+  }
+
   test("frames() spools a routed batch into bounded frames of wire JSON") {
     val turns = graft.model.TranscriptGen.generate(spark, 9L, 8L, 2).toDF()
     val assigned = Router.stripMeta(graft.TranscriptPipeline.run(spark, turns))

@@ -65,15 +65,61 @@ class AnnSpec extends SparkTestBase {
 
   test("lshNearDupPairs finds every rescaled duplicate with a bucket equi-join (no cartesian)") {
     // a positively scaled copy has identical hyperplane sign bits, so
-    // recall on scaled-duplicate pairs is exact by construction
+    // recall on scaled-duplicate pairs is exact by construction — at the
+    // corpus-derived nbits (the default), not just a narrow demo width
     val corpus = graft.queries.QueriesML.embedDedupCorpus(spark, dir)
-    val pairs = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64, nbits = 8)
+    val pairs = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64)
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "LSH near-dup must be a bucket equi-join, not an all-pairs plan")
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = vecs.keys.filter(_ % 5 == 0).map(id => (id, id + 100000L)).toSet
     assert(got == expected, s"got ${got.size} pairs, expected ${expected.size} planted duplicates")
+  }
+
+  private def randCorpus(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    // deterministic pseudo-random unit-ish vectors (splitmix64 → [-1, 1))
+    (0 until n).map { id =>
+      (id.toLong, Array.tabulate(64)(i =>
+        graft.dedup.Hashes.mix64(id.toLong * 64 + i).toDouble / Long.MaxValue.toDouble))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def maxOccupancy(df: org.apache.spark.sql.DataFrame, nbits: Int): Long =
+    df.select(Ann.lshBuckets(col("embedding"), dim = 64, nbits = nbits).as("b"))
+      .groupBy("b").count().agg(max("count")).collect()(0).getLong(0)
+
+  test("derived nbits keeps bucket occupancy bounded on a 10x corpus") {
+    val n1 = 600; val n2 = 6000
+    assert(Ann.nbitsFor(n2) > Ann.nbitsFor(n1),
+      "nbits must grow with the corpus")
+    val occ1 = maxOccupancy(randCorpus(n1), Ann.nbitsFor(n1))
+    val occ2 = maxOccupancy(randCorpus(n2), Ann.nbitsFor(n2))
+    // with nbits = ceil(log2 n)+4 the bucket space stays ~16x the corpus,
+    // so max occupancy must stay O(1) instead of growing with n — this is
+    // exactly the property a fixed nbits (e.g. 8 = 256 buckets) violates
+    assert(occ1 <= 8, s"occupancy at n=$n1: $occ1")
+    assert(occ2 <= 8, s"occupancy at n=$n2 (10x): $occ2")
+    val occFixed = maxOccupancy(randCorpus(n2), 8)
+    assert(occFixed > 4 * occ2,
+      s"sanity: a fixed 8-bit space should crowd ($occFixed) vs derived ($occ2)")
+  }
+
+  test("maxBucketOccupancy guard drops pathological hot buckets from candidate generation") {
+    import spark.implicits._
+    // 50 copies of ONE direction (a degenerate hot bucket) + background
+    val hot = (0 until 50).map(i =>
+      (1000L + i, Array.tabulate(64)(d => (d + 1).toDouble)))
+    val corpus = randCorpus(200).unionByName(hot.toDF("vec_id", "embedding"))
+    val unguarded = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64,
+        maxBucketOccupancy = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotPairs = (for { a <- 1000L until 1050L; b <- (a + 1) until 1050L } yield (a, b)).toSet
+    assert(unguarded == hotPairs, "without the guard every hot-bucket pair verifies at cosine 1")
+    assert(guarded.isEmpty, "the guard must excise the degenerate bucket before the self-join")
   }
 
   test("CosineSim expression equals the local loop") {

@@ -23,6 +23,40 @@ class SourcesSpec extends SparkTestBase {
     assert(parsed.collect().map(_.getString(0)).toSet == Set("1", null))
   }
 
+  test("stdin spools in bounded chunks: input much larger than one batch, exact offsets, bounded driver memory") {
+    val nLines = 5000
+    val data = (1 to nLines).map(i => s"line-$i").mkString("", "\n", "\n")
+    val in = new java.io.ByteArrayInputStream(data.getBytes("UTF-8"))
+    val spoolDir = java.nio.file.Files.createTempDirectory("stdin_chunks").toString
+    // batchLines = 512: the driver only ever holds 512 lines — the
+    // unbounded-pipe shape (stdinharvester.go reads forever)
+    val chunks = Sources.spoolStdin(spark, in, spoolDir, batchLines = 512, parallelism = 2)
+    assert(chunks == 10, s"ceil(5000/512) chunk appends, got $chunks")
+    val df = spark.read.parquet(spoolDir)
+    assert(df.count() == nLines)
+    assert(df.agg(max("offset")).collect()(0).getLong(0) ==
+      data.getBytes("UTF-8").length, "final offset = total stream bytes")
+    assert(df.orderBy("offset").limit(3).collect().map(_.getString(0)).toSeq ==
+      Seq("line-1", "line-2", "line-3"))
+    assert(df.select("path").distinct().collect().map(_.getString(0)).toSeq == Seq("-"))
+  }
+
+  test("socket stream carries _meta_receiver connection metadata and sinks strip it (metadata_receiver.go:22-32)") {
+    val server = new java.net.ServerSocket(0)
+    try {
+      val df = Sources.socketStream(spark, "localhost", server.getLocalPort)
+      assert(df.columns.contains("_meta_receiver"))
+      val recv = df.schema("_meta_receiver").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(recv.fieldNames.toSeq == Seq("remote_host", "remote_port", "protocol"))
+      // every sink goes through stripMeta — receiver metadata never ships,
+      // like the reference strips @metadata on serialisation
+      val stripped = graft.route.Router.stripMeta(df)
+      assert(!stripped.columns.contains("_meta_receiver"))
+      assert(stripped.columns.contains("text"))
+    } finally server.close()
+  }
+
   test("socket stream receiver: newline-delimited TCP text, one event per line, no acks (stream/protocol.go:58-77)") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort

@@ -142,5 +142,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq(("c1", 2L, "a\nb"), ("c1", 1L, "c"), ("c2", 1L, "x")))
   }
 
+  test("session assembly maxBytes split matches the reference state machine on multi-byte text") {
+    import spark.implicits._
+    import graft.codec.{Multiline, MultilineConfig}
+    // one session of multi-byte lines (2- and 3-byte UTF-8 runes)
+    val lines = Seq("héllo wörld", "日本語のテキスト", "mixed ascii ünd ümlauts", "短い")
+    val rows = lines.zipWithIndex.map { case (t, i) => ("c1", i, t, ts(i)) }
+      .toDF("conv_id", "turn_idx", "text", "ts")
+    val max = 20
+    val got = StreamingPipeline.sessionAssemble(rows, maxBytes = Some(max))
+      .orderBy("chunk_idx").select("text").as[String].collect().toSeq
+    // the state-machine oracle with always-matching patterns: no pattern
+    // boundaries, only the byte cap cuts — exactly one session's splits
+    val want = Multiline.oracle(lines, MultilineConfig(Seq("^"), maxBytes = Some(max)))
+    assert(got == want, s"streaming split must equal the reference codec byte accounting")
+    // every chunk is byte-bounded and rune-complete
+    got.foreach { c =>
+      assert(c.getBytes("UTF-8").length <= max)
+      assert(new String(c.getBytes("UTF-8"), "UTF-8") == c)
+    }
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(1767225600000L + sec * 1000L)
 }
