@@ -1,0 +1,89 @@
+package graft.admin
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Live admin REST endpoint — the reference's navigable admin API
+  * (`lc-lib/admin/server.go:146-249` request routing over the
+  * `lc-lib/admin/api` entry tree; root entries `name`/`version` per
+  * `apiroot.go:40-53`). The reference exposes a tree of Navigatable
+  * entries: GET on a leaf returns its JSON encoding, GET on an interior
+  * node lists its children. This analog serves the same shape over the
+  * JDK's built-in HTTP server with pluggable providers — the engine
+  * registers its streaming speed meters, per-sink aggregates and lineage
+  * state as entries (the reference registers prospector/publisher/
+  * receiver status the same way).
+  *
+  * Config reload and the debug entry are intentionally absent: a Spark
+  * job's config is immutable per submit, and the JVM has its own
+  * diagnostics — documented divergence, not missing surface.
+  */
+final class AdminServer(name: String = "graft", version: String = "3") {
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Any]()
+
+  register("name", () => name)
+  register("version", () => version)
+
+  /** Register a leaf at a `/`-separated path. The provider is called per
+    * request; it must return jackson-encodable values (String, numbers,
+    * Boolean, java/scala Map, Seq).
+    */
+  def register(path: String, provider: () => Any): Unit =
+    entries.put(path.stripPrefix("/").stripSuffix("/"), provider)
+
+  private var server: HttpServer = _
+
+  /** Bind and serve; port 0 picks a free port. Returns the bound address. */
+  def start(port: Int = 0): InetSocketAddress = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.setExecutor(null) // single dispatcher thread — admin traffic
+    server.start()
+    server.getAddress
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+    val (code, body) = respond(path)
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Leaf → its encoded value; interior node → sorted child-name list
+    * (the api.Node listing); unknown → 404 (`server.go:225-235`).
+    */
+  private[admin] def respond(path: String): (Int, String) = {
+    val exact = entries.get(path)
+    if (exact != null) {
+      try (200, mapper.writeValueAsString(exact()))
+      catch { case e: Exception => (500, s"""{"error":${quote(e.toString)}}""") }
+    } else {
+      val prefix = if (path.isEmpty) "" else path + "/"
+      import scala.jdk.CollectionConverters._
+      val children = entries.keySet.asScala
+        .filter(k => k.startsWith(prefix) && k.length > prefix.length)
+        .map(_.substring(prefix.length).split('/').head)
+        .toSeq.distinct.sorted
+      if (children.nonEmpty) (200, mapper.writeValueAsString(children))
+      else (404, s"""{"error":"no such admin entry: ${path}"}""")
+    }
+  }
+
+  private def quote(s: String): String =
+    mapper.writeValueAsString(s)
+}

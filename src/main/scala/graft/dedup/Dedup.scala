@@ -137,13 +137,21 @@ object Dedup {
       // pointer jumping: follow cluster → label(cluster) once per round,
       // so a chain component's reach doubles each round and convergence is
       // O(log diameter) — a plain neighbor walk needs O(diameter) rounds
-      // and a 10⁶-long dup chain would exhaust any fixed cap
-      val byId = propagated.select(col("id").as("_pid"), col("cluster").as("_pcluster"))
-      labels = propagated
-        .join(byId, propagated("cluster") === byId("_pid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("_pcluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+      // and a 10⁶-long dup chain would exhaust any fixed cap. Skipped on
+      // the first two rounds: diameter ≤ 2 components (the overwhelmingly
+      // common near-dup shape — copies of one source) converge there
+      // without it, so the common case pays zero extra joins while deep
+      // chains still get the exponential reach from round 3 on.
+      labels =
+        if (rounds < 2) propagated // cheap projection over checkpointed `merged`
+        else {
+          val byId = propagated.select(col("id").as("_pid"), col("cluster").as("_pcluster"))
+          propagated
+            .join(byId, propagated("cluster") === byId("_pid"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("_pcluster"), col("cluster"))).as("cluster"))
+            .localCheckpoint()
+        }
       rounds += 1
     }
     // silent non-convergence would split one true cluster into several

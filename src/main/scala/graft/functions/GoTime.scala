@@ -24,8 +24,15 @@ object GoTime {
     "-07" -> "x",
     "Z07:00" -> "XXX",
     "Z0700" -> "XX",
+    "Z07" -> "X",
     "MST" -> "zzz",
     "15" -> "HH",
+    // day-of-year (Go layout "002": zero-padded; "__2": space-padded to 3)
+    "002" -> "DDD",
+    "__2" -> "[ ][ ]D",
+    // space-padded day of month — the classic syslog "Jan _2 15:04:05"
+    // layout; the optional-space section absorbs the pad for days 1-9
+    "_2" -> "[ ]d",
     "01" -> "MM",
     "02" -> "dd",
     "03" -> "hh",
@@ -51,6 +58,15 @@ object GoTime {
     val out = new StringBuilder
     var i = 0
     while (i < goLayout.length) {
+      // trimmed fractional seconds ".9", ".99", … ".999999999": trailing
+      // zeros removed when formatting, entire fraction optional when
+      // parsing — an optional section around a variable fraction
+      if (goLayout.startsWith(".9", i)) {
+        var n = 0
+        while (i + 1 + n < goLayout.length && goLayout.charAt(i + 1 + n) == '9') n += 1
+        out.append("[.").append("S" * n).append("]")
+        i += 1 + n
+      } else
       tokens.find { case (go, _) => goLayout.startsWith(go, i) } match {
         case Some((go, jvm)) =>
           out.append(jvm); i += go.length

@@ -19,6 +19,11 @@ object PlanDump {
     dump("q_multiline", graft.queries.Queries.qMultiline(s, dir))
     dump("q_dedup_pairs", graft.queries.QueriesML.qDedupPairs(s, dir))
     dump("q_ann_cosine", graft.queries.QueriesML.qAnnCosine(s, dir))
+    // scale-path plans: IVF assignment must show NO Exchange before the
+    // cell join (fused argmax, not a window); LSH near-dup must be a
+    // bucket equi-join on the derived-width bucket ids
+    dump("q_ann_ivf", graft.queries.QueriesML.qAnnIvf(s, dir))
+    dump("q_embed_neardup", graft.queries.QueriesML.qEmbedNearDup(s, dir))
     dump("q_filter_codec", graft.queries.Queries.qFilterCodec(s, dir))
     s.stop()
   }

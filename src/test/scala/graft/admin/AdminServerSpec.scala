@@ -1,0 +1,52 @@
+package graft.admin
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Navigable admin REST tree (`lc-lib/admin/server.go`, `apiroot.go`):
+  * leaf GET returns JSON, interior GET lists children, unknown paths 404,
+  * and a live metric registered as a provider reflects updates without
+  * re-registration — the polling surface `lc-admin` connects to.
+  */
+class AdminServerSpec extends AnyFunSuite {
+
+  private def get(addr: java.net.InetSocketAddress, path: String): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:${addr.getPort}$path"))
+      .GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("root lists entries; name/version leaves encode like apiroot.go:40-53") {
+    val srv = new AdminServer(name = "graft", version = "3")
+    val meter = new java.util.concurrent.atomic.AtomicLong(0L)
+    srv.register("pipeline/speed", () => Map("lines_per_sec" -> meter.get()))
+    srv.register("pipeline/sinks", () => Seq("sink_main", "sink_tools"))
+    val addr = srv.start()
+    try {
+      val (c0, root) = get(addr, "/")
+      assert(c0 == 200 && root.contains("\"name\"") && root.contains("\"pipeline\""))
+      assert(get(addr, "/name") == ((200, "\"graft\"")))
+      assert(get(addr, "/version") == ((200, "\"3\"")))
+      // interior node: sorted child listing
+      assert(get(addr, "/pipeline") == ((200, """["sinks","speed"]""")))
+      // live provider: polled value reflects updates (the lc-admin loop)
+      meter.set(12345L)
+      val (c1, b1) = get(addr, "/pipeline/speed")
+      assert(c1 == 200 && b1 == """{"lines_per_sec":12345}""")
+      meter.set(777L)
+      assert(get(addr, "/pipeline/speed")._2 == """{"lines_per_sec":777}""")
+      // unknown path → 404 (server.go:225-235)
+      assert(get(addr, "/nope")._1 == 404)
+    } finally srv.stop()
+  }
+
+  test("respond() unit surface: empty tree path vs leaf precedence") {
+    val srv = new AdminServer()
+    srv.register("a/b/c", () => 1)
+    assert(srv.respond("a")._2 == """["b"]""")
+    assert(srv.respond("a/b")._2 == """["c"]""")
+    assert(srv.respond("a/b/c") == ((200, "1")))
+  }
+}

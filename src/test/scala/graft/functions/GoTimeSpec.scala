@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Go layout → Spark pattern translation (`actiondate.go:60-95` layouts,
+  * Go `time/format.go` token semantics), proven against actual Spark
+  * parsing — translation strings alone can lie about the pattern dialect.
+  */
+class GoTimeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def parse(layout: String, value: String): Option[java.sql.Timestamp] = {
+    val pattern = GoTime.translate(layout)
+    Seq(value).toDF("raw")
+      .select(try_to_timestamp(col("raw"), lit(pattern)).as("ts"))
+      .collect()(0) match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getTimestamp(0))
+    }
+  }
+
+  private def utc(s: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  test("RFC3339 and fixed-fraction layouts") {
+    assert(parse("2006-01-02T15:04:05Z07:00", "2026-03-04T05:06:07Z")
+      .contains(utc("2026-03-04T05:06:07Z")))
+    assert(parse("2006-01-02 15:04:05.000", "2026-03-04 05:06:07.125")
+      .contains(utc("2026-03-04T05:06:07.125Z")))
+  }
+
+  test("trimmed-fraction .999999999 layouts (RFC3339Nano): any width, fraction optional") {
+    val nano = "2006-01-02T15:04:05.999999999Z07:00"
+    assert(parse(nano, "2026-03-04T05:06:07.5Z")
+      .contains(utc("2026-03-04T05:06:07.5Z")))
+    assert(parse(nano, "2026-03-04T05:06:07.123456789Z")
+      .contains(utc("2026-03-04T05:06:07.123456Z"))) // micro truncation
+    assert(parse(nano, "2026-03-04T05:06:07Z")
+      .contains(utc("2026-03-04T05:06:07Z")), "zero fraction is omitted entirely in Go")
+  }
+
+  test("syslog space-padded day: Jan _2 15:04:05 parses 1- and 2-digit days") {
+    // no year in the layout — Spark defaults to 1970 like Go defaults to 0
+    assert(parse("Jan _2 15:04:05", "Mar  5 04:00:01").isDefined)
+    assert(parse("Jan _2 15:04:05", "Mar 15 04:00:01").isDefined)
+    val d1 = parse("Jan _2 15:04:05", "Mar  5 04:00:01").get.toInstant.toString
+    assert(d1.contains("-03-05T04:00:01"))
+  }
+
+  test("day-of-year 002 (zero-padded)") {
+    assert(parse("2006-002", "2026-005").map(_.toInstant.toString.take(10))
+      .contains("2026-01-05"))
+    assert(parse("2006-002", "2026-036").map(_.toInstant.toString.take(10))
+      .contains("2026-02-05"))
+  }
+
+  test("unknown tokens still fail closed") {
+    intercept[IllegalArgumentException](GoTime.translate("2006-01-02 Q9"))
+  }
+}
