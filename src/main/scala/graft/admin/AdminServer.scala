@@ -87,3 +87,27 @@ final class AdminServer(name: String = "graft", version: String = "3") {
   private def quote(s: String): String =
     mapper.writeValueAsString(s)
 }
+
+object AdminServer {
+
+  /** Wire the engine's live metrics into an admin tree — the entries the
+    * reference's components register on the api root (prospector/
+    * publisher/receiver status): active streaming queries and their live
+    * EWMA speed meters (`speed_lps` analog), polled per request exactly
+    * like `lc-admin` polls the REST endpoint.
+    */
+  def forSpark(spark: org.apache.spark.sql.SparkSession,
+      speeds: graft.streaming.StreamingPipeline.SpeedListener): AdminServer = {
+    val srv = new AdminServer()
+    def active = spark.streams.active.toSeq
+    srv.register("pipeline/queries", () =>
+      active.map(q => Option(q.name).getOrElse(q.id.toString)))
+    srv.register("pipeline/speed", () =>
+      active.map(q =>
+        Option(q.name).getOrElse(q.id.toString) -> speeds.speedFor(q.id)).toMap)
+    srv.register("pipeline/status", () =>
+      active.map(q =>
+        Option(q.name).getOrElse(q.id.toString) -> q.status.message).toMap)
+    srv
+  }
+}

@@ -42,6 +42,29 @@ class AdminServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("forSpark wires live streaming speed meters into the tree (lc-admin poll loop)") {
+    val spark = graft.SparkTestBase.spark
+    val speeds = graft.streaming.StreamingPipeline.attachSpeedListener(spark)
+    val srv = AdminServer.forSpark(spark, speeds)
+    val addr = srv.start()
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+      .writeStream.format("memory").queryName("admin_rate_probe").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var speed = 0.0
+      while (speed <= 0.0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        val (c, body) = get(addr, "/pipeline/speed")
+        assert(c == 200)
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        if (node.has("admin_rate_probe")) speed = node.get("admin_rate_probe").asDouble()
+      }
+      assert(speed > 0.0, "live meter must surface rows/sec through the admin endpoint")
+      val (_, names) = get(addr, "/pipeline/queries")
+      assert(names.contains("admin_rate_probe"))
+    } finally { q.stop(); srv.stop() }
+  }
+
   test("respond() unit surface: empty tree path vs leaf precedence") {
     val srv = new AdminServer()
     srv.register("a/b/c", () => 1)
