@@ -122,6 +122,37 @@ class AnnSpec extends SparkTestBase {
     assert(guarded.isEmpty, "the guard must excise the degenerate bucket before the self-join")
   }
 
+  test("NearestCells fused argmax equals sort-based selection (sim desc, cent_id asc ties)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rnd = (seed: Long, n: Int) => Array.tabulate(n)(i =>
+      graft.dedup.Hashes.mix64(seed * 977 + i).toDouble / Long.MaxValue.toDouble)
+    val cents = Array.tabulate(16)(c => rnd(c.toLong, 8))
+    val centIds = Array.tabulate(16)(c => (c * 10 + 3).toLong) // non-contiguous ids
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (probe <- Seq(1, 3, 16, 20); seed <- 100L to 110L) {
+      val v = rnd(seed, 8)
+      val expr = NearestCells(Literal.create(v.toSeq,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        centIds, cents, probe)
+      val got = expr.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = centIds.zip(cents.map(c => cos(v, c)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(math.min(probe, 16)).map(_._1).toSeq
+      assert(got == want, s"probe=$probe seed=$seed")
+    }
+    // zero vector: every sim is 0.0, ties broken by ascending cent_id
+    val z = NearestCells(Literal.create(Array.fill(8)(0.0).toSeq,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      centIds, cents, 4)
+    assert(z.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq ==
+      centIds.sorted.take(4).toSeq)
+  }
+
   test("CosineSim expression equals the local loop") {
     val got = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
