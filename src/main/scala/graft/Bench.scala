@@ -37,6 +37,11 @@ object Bench {
       // v2 committer: task-side renames, cutting the driver-side serial
       // commit that is pure fixed cost and biases the N->4N ratio
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // lz4 sink codec: measured 10-20% faster than snappy on this
+      // write-heavy pipeline (tools/PerfProbe: 16.3 s vs 18.0-20.6 s at
+      // local[8]); compression stays on — raw parquet would shift cost to
+      // the page cache and misrepresent a real cluster's network/disk
+      .config("spark.sql.parquet.compression.codec", "lz4")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -152,8 +157,11 @@ object Bench {
     // bounded — until the min-pair is consistent. The median is reported
     // alongside the min so a stolen leg is VISIBLE in the artifact rather
     // than silently laundered through min().
+    // (only meaningful at ≥2M-turn legs: below that the ~2 s fixed job
+    // cost legitimately caps the ratio — BENCH.md's t(c)=f+W/c fit — and
+    // no number of re-runs can move it, so don't burn time retrying)
     var extraPairs = 0
-    while ((effNow < 0.6 || effNow > 1.15) && extraPairs < 5) {
+    while (n8 >= 2000000L && (effNow < 0.6 || effNow > 1.15) && extraPairs < 5) {
       runPair(); extraPairs += 1
     }
     require(n32 == n8 && n8 == n2, s"row count mismatch: $n32/$n8/$n2")
