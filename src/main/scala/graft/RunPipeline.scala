@@ -43,6 +43,24 @@ object RunPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     val listener = PartitionMetrics.attach(spark)
+
+    // Live admin endpoint (the reference's REST admin API,
+    // `lc-lib/admin/server.go`): opt-in via GRAFT_ADMIN_PORT. While the
+    // job runs, GET /pipeline/partitions streams the accumulating
+    // per-partition throughput and /pipeline/lineage the sealed-bucket
+    // resume progress — what `lc-admin` would poll.
+    val admin = sys.env.get("GRAFT_ADMIN_PORT").map { p =>
+      val srv = new graft.admin.AdminServer()
+      srv.register("pipeline/partitions", () => listener.snapshot)
+      srv.register("pipeline/lineage", () => Map(
+        "batch_id" -> batchId,
+        "buckets_committed" -> Lineage.committed(outputRoot).size,
+        "buckets_total" -> nBuckets))
+      val addr = srv.start(p.toInt)
+      println(s"""ADMIN {"host":"${addr.getHostString}","port":${addr.getPort}}""")
+      srv
+    }
+
     val t0 = System.nanoTime()
 
     val turns = spark.read.parquet(inputDir)
@@ -56,6 +74,7 @@ object RunPipeline {
     println("SINKS " + Metrics.toJson(report))
     println("PARTITIONS " + PartitionMetrics.toJson(listener.snapshot))
     println(s"""COMMIT {"batch_id":"$batchId","buckets_committed":$committed,"buckets_total":${Lineage.committed(outputRoot).size}}""")
+    admin.foreach(_.stop())
     spark.stop()
   }
 }
