@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *   - functions: `int() double() string() size()` — `size()` is
   *     polymorphic per `ext.Strings()` (code points on strings, element
   *     count on lists/maps), dispatched statically via the schema;
-  *   - string methods: `startsWith endsWith contains matches`;
+  *   - string methods: `startsWith endsWith contains matches` plus the
+  *     `ext.Strings()` set: `charAt indexOf lastIndexOf lowerAscii
+  *     upperAscii replace split join substring trim` (0-based CEL
+  *     indices; bounded-count replace and `format` stay unsupported —
+  *     fail closed);
   *   - `json.encode/decode` and `base64.encode/decode` (the custom json
   *     lib + `ext.Encoders()`, `cel.go:40-44`).
   *
@@ -321,6 +325,46 @@ object Cel {
       case Method(t, "endsWith", List(a)) => go(t).endsWith(go(a))
       case Method(t, "contains", List(a)) => go(t).contains(go(a))
       case Method(t, "matches", List(Lit(re: String))) => go(t).rlike(re)
+      // ---- ext.Strings() surface (cel.go:40-44; cel-go strings ext) ----
+      // 0-based code-point indices throughout (CEL), mapped onto Spark's
+      // 1-based character functions.
+      case Method(t, "charAt", List(i)) =>
+        go(t).substr(go(i).cast("int") + lit(1), lit(1))
+      case Method(t, "indexOf", List(a)) =>
+        (locate_dyn(go(a), go(t), lit(1)) - lit(1)).cast("long")
+      case Method(t, "indexOf", List(a, off)) =>
+        (locate_dyn(go(a), go(t), go(off).cast("int") + lit(1)) - lit(1)).cast("long")
+      case Method(t, "lastIndexOf", List(a)) => {
+        val (s, sub) = (go(t), go(a))
+        val revPos = locate_dyn(reverse(sub), reverse(s), lit(1))
+        when(revPos === 0, lit(-1L))
+          .otherwise((length(s) - revPos - length(sub) + lit(1)).cast("long"))
+      }
+      case Method(t, "lowerAscii", List()) =>
+        translate(go(t), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+      case Method(t, "upperAscii", List()) =>
+        translate(go(t), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+      case Method(t, "replace", List(Lit(o: String), n)) =>
+        // strings.ReplaceAll; the 3-arg bounded-count form is not
+        // column-expressible and stays unsupported (fails closed)
+        regexp_replace(go(t), lit(java.util.regex.Pattern.quote(o)), go(n).cast("string"))
+      case Method(t, "split", List(Lit(sep: String))) =>
+        // cel split is a LITERAL separator; Spark's is a regex — quote it.
+        // Trailing empties kept both sides (Go strings.Split semantics).
+        split(go(t), java.util.regex.Pattern.quote(sep))
+      case Method(t, "join", List()) => array_join(go(t), "")
+      case Method(t, "join", List(Lit(sep: String))) => array_join(go(t), sep)
+      case Method(t, "substring", List(s)) => {
+        val tc = go(t)
+        tc.substr(go(s).cast("int") + lit(1), length(tc))
+      }
+      case Method(t, "substring", List(s, e)) =>
+        go(t).substr(go(s).cast("int") + lit(1),
+          (go(e).cast("int") - go(s).cast("int")))
+      case Method(t, "trim", List()) =>
+        // strings.TrimSpace trims UNICODE whitespace; Spark's trim() only
+        // trims ' ', so use the \s class (covers the reference's cases)
+        regexp_replace(go(t), "^\\s+|\\s+$", "")
       case Method(t, name, _) => throw new IllegalArgumentException(s"unsupported CEL method: $name")
       case Macro(t, "map", v, body) =>
         transform(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
@@ -334,12 +378,24 @@ object Cel {
     }
   }
 
+  /** `locate` with fully dynamic operands (the sql.functions overloads
+    * require literal substring/position).
+    */
+  private def locate_dyn(sub: Column, s: Column, pos: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.StringLocate(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sub),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(s),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(pos)))
+
   private def isStringy(e: Expr): Boolean = e match {
     case Lit(_: String) => true
     case Binary("+", l, r) => isStringy(l) || isStringy(r)
     case Call("string", _) => true
     case Method(Ident("json"), "encode", _) => true
     case Method(Ident("base64"), "encode", _) => true
+    case Method(_, "charAt" | "lowerAscii" | "upperAscii" | "replace"
+                   | "substring" | "trim" | "join", _) => true
     case _ => false
   }
 }

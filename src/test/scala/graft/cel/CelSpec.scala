@@ -121,6 +121,41 @@ class CelSpec extends SparkTestBase {
       == Seq(false, true))
   }
 
+  test("ext.Strings methods: charAt/indexOf/lastIndexOf (0-based CEL indices)") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    assert(s("\"hello\".charAt(1)").as[String].collect()(0) == "e")
+    assert(s("\"hello mellow\".indexOf(\"ello\")").as[Long].collect()(0) == 1L)
+    assert(s("\"hello mellow\".indexOf(\"ello\", 2)").as[Long].collect()(0) == 7L)
+    assert(s("\"hello mellow\".indexOf(\"zzz\")").as[Long].collect()(0) == -1L)
+    assert(s("\"hello mellow\".lastIndexOf(\"ello\")").as[Long].collect()(0) == 7L)
+    assert(s("\"hello mellow\".lastIndexOf(\"zzz\")").as[Long].collect()(0) == -1L)
+    assert(evalBool("event.message.indexOf(\"ERROR\") == 0") == Seq(true, false))
+  }
+
+  test("ext.Strings methods: lowerAscii/upperAscii/replace/trim") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    // ASCII-only case mapping (cel-go lowerAscii leaves non-ASCII alone)
+    assert(s("\"TacoCÆt\".lowerAscii()").as[String].collect()(0) == "tacocÆt")
+    assert(s("\"tacoCÆt\".upperAscii()").as[String].collect()(0) == "TACOCÆT")
+    assert(s("\"hello hello\".replace(\"he\", \"we\")").as[String].collect()(0) == "wello wello")
+    assert(s("\"a.b.c\".replace(\".\", \"-\")").as[String].collect()(0) == "a-b-c")
+    assert(s("\"  \\ttrim me \\n \".trim()").as[String].collect()(0) == "trim me")
+  }
+
+  test("ext.Strings methods: split/join/substring") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    assert(s("\"a,b,,c\".split(\",\")").as[Seq[String]].collect()(0) == Seq("a", "b", "", "c"))
+    assert(s("\"a.b.c\".split(\".\")").as[Seq[String]].collect()(0) == Seq("a", "b", "c"),
+      "literal separator, not a regex")
+    assert(s("[\"x\", \"y\"].join(\"-\")").as[String].collect()(0) == "x-y")
+    assert(s("[\"x\", \"y\"].join()").as[String].collect()(0) == "xy")
+    assert(s("\"tacocat\".substring(1)").as[String].collect()(0) == "acocat")
+    assert(s("\"tacocat\".substring(1, 4)").as[String].collect()(0) == "aco")
+    // composes with macros and size() structural dispatch
+    assert(s("size(\"a b c\".split(\" \"))").as[Int].collect()(0) == 3)
+    assert(s("size(\"a b c\".trim())").as[Int].collect()(0) == 5)
+  }
+
   test("division and modulo by zero are eval errors → branch false, not fatal") {
     assert(evalBool("event.num / (event.num - event.num) > 0") == Seq(false, false))
     assert(evalBool("event.num % (event.num - event.num) == 0") == Seq(false, false))
