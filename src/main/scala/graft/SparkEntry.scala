@@ -53,7 +53,9 @@ object SparkEntry {
       "q_embed_normalize" -> (graft.queries.QueriesML.qEmbedNormalize _),
       "q_sample_split" -> (graft.queries.QueriesML.qSampleSplit _),
       "q_token_hist" -> (graft.queries.QueriesML.qTokenHist _),
-      "q_top_terms" -> (graft.queries.QueriesML.qTopTerms _)
+      "q_top_terms" -> (graft.queries.QueriesML.qTopTerms _),
+      "q_cel_strings" -> (graft.queries.QueriesR3.qCelStrings _),
+      "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,7 +101,9 @@ object SparkEntry {
       "q_embed_normalize" -> graft.queries.QueriesML.qEmbedNormalizeSql,
       "q_sample_split" -> graft.queries.QueriesML.qSampleSplitSql,
       "q_token_hist" -> graft.queries.QueriesML.qTokenHistSql,
-      "q_top_terms" -> graft.queries.QueriesML.qTopTermsSql
+      "q_top_terms" -> graft.queries.QueriesML.qTopTermsSql,
+      "q_cel_strings" -> graft.queries.QueriesR3.qCelStringsSql,
+      "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql
     )
   }
 }
