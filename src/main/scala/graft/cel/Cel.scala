@@ -344,10 +344,11 @@ object Cel {
         translate(go(t), "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
       case Method(t, "upperAscii", List()) =>
         translate(go(t), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
-      case Method(t, "replace", List(Lit(o: String), n)) =>
-        // strings.ReplaceAll; the 3-arg bounded-count form is not
-        // column-expressible and stays unsupported (fails closed)
-        regexp_replace(go(t), lit(java.util.regex.Pattern.quote(o)), go(n).cast("string"))
+      case Method(t, "replace", List(o, n)) =>
+        // strings.ReplaceAll — LITERAL search/replacement (regexp_replace
+        // would misread `$`/`\` in the replacement); the 3-arg
+        // bounded-count form is not column-expressible, fails closed
+        replace(go(t), go(o).cast("string"), go(n).cast("string"))
       case Method(t, "split", List(Lit(sep: String))) =>
         // cel split is a LITERAL separator; Spark's is a regex — quote it.
         // Trailing empties kept both sides (Go strings.Split semantics).

@@ -235,7 +235,10 @@ object Ann {
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("cent_id", explode(cells(col("qvec"), nprobe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cent_id"))
+    // no broadcast hint: a small query set auto-broadcasts (AQE), but IVF
+    // is exactly the path meant for query sets too big to broadcast —
+    // there the join correctly shuffles both sides by cent_id
+    corpusCells.join(queryCells, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
       .withColumn("rank", row_number().over(w))

@@ -139,6 +139,8 @@ class CelSpec extends SparkTestBase {
     assert(s("\"tacoCÆt\".upperAscii()").as[String].collect()(0) == "TACOCÆT")
     assert(s("\"hello hello\".replace(\"he\", \"we\")").as[String].collect()(0) == "wello wello")
     assert(s("\"a.b.c\".replace(\".\", \"-\")").as[String].collect()(0) == "a-b-c")
+    // literal semantics: '$' in the replacement is not a backreference
+    assert(s("\"cost: x\".replace(\"x\", \"$1\")").as[String].collect()(0) == "cost: $1")
     assert(s("\"  \\ttrim me \\n \".trim()").as[String].collect()(0) == "trim me")
   }
 
