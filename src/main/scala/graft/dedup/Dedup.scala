@@ -1,7 +1,13 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Deduplication operators for the training-data pipeline, each written
   * the way it has to work at 10^8+ documents:
@@ -16,16 +22,73 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (space-joined). Safe for texts
-    * shorter than n (empty array, not an error).
+  /** Word n-gram shingles of a text column (space-joined, distinct in
+    * first-occurrence order). Safe for texts shorter than n (empty array,
+    * not an error). ONE fused expression ([[WordShingles]]) — the Column
+    * spelling (split → sequence → transform(concat_ws(slice)) →
+    * array_distinct) allocates five intermediate arrays and rebuilds
+    * every shingle string per row; the fused form exploits that a
+    * space-joined shingle IS a byte span of the original text (split
+    * consumes exactly the single-space separators), so each shingle is a
+    * zero-copy slice.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    when(size(words) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  def shingles(text: Column, n: Int = 3): Column =
+    EU.column(WordShingles(EU.expression(text), n))
+
+  /** [[Dedup.shingles]]'s engine: split the UTF-8 bytes on 0x20, emit the
+    * distinct word-n-gram byte spans in first-occurrence order. Each
+    * shingle is `UTF8String.fromBytes(base, start_i, end_(i+n-1))` — no
+    * per-shingle string building: `concat_ws(" ", words[i..j])` equals
+    * the original byte span because `split(" ")` consumes exactly one
+    * space per separator (empty words reproduce runs of spaces).
+    */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_shingles"
+    override val dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = compute(input)
+
+    def compute(input: Any): ArrayData = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val len = bytes.length
+      // word boundaries: starts(i) .. ends(i) exclusive, split on ' '
+      var words = 1
+      var i = 0
+      while (i < len) { if (bytes(i) == ' '.toByte) words += 1; i += 1 }
+      if (words < n) return new GenericArrayData(Array.empty[Any])
+      val starts = new Array[Int](words)
+      val ends = new Array[Int](words)
+      var w = 0
+      starts(0) = 0
+      i = 0
+      while (i < len) {
+        if (bytes(i) == ' '.toByte) { ends(w) = i; w += 1; starts(w) = i + 1 }
+        i += 1
+      }
+      ends(w) = len
+      val seen = new java.util.HashSet[UTF8String](words * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](words - n + 1)
+      var j = 0
+      while (j <= words - n) {
+        val from = starts(j)
+        val until = ends(j + n - 1)
+        val sh = UTF8String.fromBytes(bytes, from, until - from)
+        if (seen.add(sh)) out += sh
+        j += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): WordShingles =
+      copy(child = c)
   }
 
   /** Exact dedup: keep the lowest id per identical text. Groups on a

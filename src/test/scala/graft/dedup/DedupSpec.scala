@@ -15,6 +15,17 @@ class DedupSpec extends SparkTestBase {
     else words.sliding(n).map(_.mkString(" ")).toSeq.distinct
   }
 
+  test("WordShingles fused expression equals sliding-window semantics (spans, runs of spaces, unicode)") {
+    val cases = Seq("", "a", "a b", "a b c", "a b c d", "a  b  c d",
+      " leading space", "trailing space ", "tabs\tstay in\twords here",
+      "多字 节 词 x y", "a b c a b c a b c", "   ", "x y z")
+    val df2 = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df2.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    for ((t, i) <- cases.zipWithIndex)
+      assert(got(i.toLong) == localShingles(t), s"mismatch for '$t'")
+  }
+
   test("MinHashSig expression equals the local reference signature") {
     val got = docs.limit(20)
       .select($"doc_id", MinHashSig(Dedup.shingles($"text"), 16).as("sig"))
