@@ -48,7 +48,15 @@ object Dedup {
     override def prettyName: String = "word_shingles"
     override val dataType: DataType = ArrayType(StringType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = compute(input)
+    // the memo tag is shared across duplicate instances of the same
+    // logical shingling (CollapseProject inlines the column into every
+    // use — e.g. minHashPairs evaluates it for the signature AND the
+    // emptiness filter; back-to-back duplicate evals hit the memo)
+    @transient private lazy val memoTag: AnyRef = s"word_shingles_$n"
+
+    override def nullSafeEval(input: Any): Any =
+      graft.functions.EvalMemo.memo(memoTag, input.asInstanceOf[UTF8String])(
+        compute(input))
 
     def compute(input: Any): ArrayData = {
       val s = input.asInstanceOf[UTF8String]
