@@ -23,7 +23,9 @@ final case class EcsConfig(
     addHostField: Boolean = true,       // `add host field`, default true (stream.go:29)
     addTimezoneField: Boolean = false,  // `add timezone field`, default false
     addTimezoneNameField: Boolean = false,
-    enableEcs: Boolean = false          // `enable ecs`, default false (stream.go:31)
+    enableEcs: Boolean = false,         // `enable ecs`, default false (stream.go:31)
+    addPathField: Boolean = true,       // `add path field`, default true (harvester/config.go:31)
+    addOffsetField: Boolean = true      // `add offset field`, default true (codecs/stream.go:29)
 )
 
 object Ecs {
@@ -46,13 +48,17 @@ object Ecs {
           struct(host.as("name"), host.as("hostname")))
       if (cfg.addTimezoneField)
         out = out.withColumn("event", struct(timezone.as("timezone")))
-      out = out.withColumn("log",
-        struct(struct(path.as("path")).as("file"), offset.cast("long").as("offset")))
+      // `log` carries only the enabled parts (harvester.go:401 path,
+      // codecs/stream.go:125 offset — independently toggleable)
+      val logParts =
+        (if (cfg.addPathField) Seq(struct(path.as("path")).as("file")) else Nil) ++
+        (if (cfg.addOffsetField) Seq(offset.cast("long").as("offset")) else Nil)
+      if (logParts.nonEmpty) out = out.withColumn("log", struct(logParts: _*))
     } else {
       if (cfg.addHostField) out = out.withColumn("host", host)
       if (cfg.addTimezoneField) out = out.withColumn("timezone", timezone)
-      out = out.withColumn("path", path)
-        .withColumn("offset", offset.cast("long"))
+      if (cfg.addPathField) out = out.withColumn("path", path)
+      if (cfg.addOffsetField) out = out.withColumn("offset", offset.cast("long"))
     }
     // `add timezone name field` has no ECS variant in the reference
     // (stream.go:100-102) — flat in both modes

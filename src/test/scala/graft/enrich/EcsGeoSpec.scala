@@ -45,6 +45,31 @@ class EcsGeoSpec extends SparkTestBase {
     assert(!out.columns.contains("path") && !out.columns.contains("timezone"))
   }
 
+  test("add path field / add offset field toggles (harvester/config.go:31, codecs/stream.go:29)") {
+    // flat mode, both off: no path/offset columns at all
+    val flat = Ecs.decorate(base,
+      EcsConfig(addPathField = false, addOffsetField = false),
+      host = lit("n"), timezone = lit("z"), timezoneName = lit("Z"),
+      path = lit("/p"), offset = col("turn_idx"))
+    assert(!flat.columns.contains("path") && !flat.columns.contains("offset"))
+    assert(flat.columns.contains("host"))
+    // ECS mode, offset only: log = {offset}, no file.path
+    val ecsOff = Ecs.decorate(base,
+      EcsConfig(enableEcs = true, addPathField = false),
+      host = lit("n"), timezone = lit("z"), timezoneName = lit("Z"),
+      path = lit("/p"), offset = col("turn_idx"))
+    val logType = ecsOff.schema("log").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(logType.fieldNames.toSeq == Seq("offset"))
+    assert(ecsOff.select(col("log.offset")).collect()(1).getLong(0) == 1L)
+    // ECS mode, both off: no log column
+    val ecsNone = Ecs.decorate(base,
+      EcsConfig(enableEcs = true, addPathField = false, addOffsetField = false),
+      host = lit("n"), timezone = lit("z"), timezoneName = lit("Z"),
+      path = lit("/p"), offset = col("turn_idx"))
+    assert(!ecsNone.columns.contains("log"))
+  }
+
   private val geoDb = Seq(
     GeoRecord("81.2.69.142", "London", "Europe", "GB", "United Kingdom",
       -0.0931, 51.5142, "EC1", "Europe/London", "ENG", "England"))
