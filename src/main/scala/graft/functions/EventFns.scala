@@ -47,7 +47,15 @@ object EventFns {
         // tags `_date_failure` instead (`actiondate.go:60-95`).
         c.try_cast("double").try_cast("timestamp")
       case layout =>
-        try_to_timestamp(c, lit(GoTime.translate(layout)))
+        // shape prefilter: a thrown-and-caught parse exception per row
+        // per non-matching format dominates multi-format parse cost; the
+        // regex is a strict superset of parseable shapes (GoTime
+        // scaladoc), so guarded and unguarded results are identical
+        val attempt = try_to_timestamp(c, lit(GoTime.translate(layout)))
+        GoTime.shapeRegex(layout) match {
+          case Some(re) => when(c.rlike(re), attempt)
+          case None => attempt
+        }
     }
     coalesce(attempts: _*)
   }

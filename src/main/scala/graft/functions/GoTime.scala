@@ -54,6 +54,56 @@ object GoTime {
   private def isLiteral(c: Char): Boolean =
     !c.isLetterOrDigit
 
+  /** Conservative shape regex for a Go layout: matches a SUPERSET of the
+    * strings the translated pattern can parse, so `rlike(shape)` is a
+    * sound prefilter — a multi-format `date` action otherwise pays a
+    * thrown-and-caught parse exception per row per non-matching format
+    * (measured: the dominant cost of `q_date_parse`). Numeric fields use
+    * loose widths, zone names a loose word class; `None` when the layout
+    * contains anything the table can't loosely describe (caller then
+    * parses unguarded — never wrong, just slower).
+    */
+  def shapeRegex(goLayout: String): Option[String] = {
+    val shapes: Seq[(String, String)] = Seq(
+      "2006" -> "\\d{4}",
+      "January" -> "[A-Za-z]+", "Jan" -> "[A-Za-z]{3}",
+      "Monday" -> "[A-Za-z]+", "Mon" -> "[A-Za-z]{3}",
+      ".000000000" -> "\\.\\d{9}", ".000000" -> "\\.\\d{6}", ".000" -> "\\.\\d{3}",
+      "-07:00" -> "[+-]\\d{2}:\\d{2}", "-0700" -> "[+-]\\d{4}", "-07" -> "[+-]\\d{2}",
+      "Z07:00" -> "(?:Z|[+-]\\d{2}:\\d{2})", "Z0700" -> "(?:Z|[+-]\\d{4})",
+      "Z07" -> "(?:Z|[+-]\\d{2})",
+      "MST" -> "[A-Za-z][A-Za-z0-9/_+-]*",
+      "15" -> "\\d{1,2}",
+      "002" -> "\\d{1,3}", "__2" -> "\\s{0,2}\\d{1,3}", "_2" -> "\\s?\\d{1,2}",
+      "01" -> "\\d{1,2}", "02" -> "\\d{1,2}", "03" -> "\\d{1,2}",
+      "04" -> "\\d{1,2}", "05" -> "\\d{1,2}", "06" -> "\\d{2}",
+      "PM" -> "[APap][Mm]", "pm" -> "[APap][Mm]",
+      "1" -> "\\d{1,2}", "2" -> "\\d{1,2}", "3" -> "\\d{1,2}",
+      "4" -> "\\d{1,2}", "5" -> "\\d{1,2}"
+    )
+    val out = new StringBuilder("^")
+    var i = 0
+    while (i < goLayout.length) {
+      if (goLayout.startsWith(".9", i)) {
+        var n = 0
+        while (i + 1 + n < goLayout.length && goLayout.charAt(i + 1 + n) == '9') n += 1
+        out.append(s"(?:\\.\\d{1,$n})?")
+        i += 1 + n
+      } else shapes.find { case (go, _) => goLayout.startsWith(go, i) } match {
+        case Some((go, re)) => out.append(re); i += go.length
+        case None =>
+          val ch = goLayout.charAt(i)
+          // mirror translate(): an unmatched letter is a quoted literal
+          // (e.g. the ISO 'T'); an unmatched digit would be a layout
+          // token we don't know — fail open (no guard, parse decides)
+          if (ch.isDigit) return None
+          out.append(java.util.regex.Pattern.quote(ch.toString))
+          i += 1
+      }
+    }
+    Some(out.append("$").toString)
+  }
+
   def translate(goLayout: String): String = {
     val out = new StringBuilder
     var i = 0

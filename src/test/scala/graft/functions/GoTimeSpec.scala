@@ -55,6 +55,29 @@ class GoTimeSpec extends SparkTestBase {
       .contains("2026-02-05"))
   }
 
+  test("shapeRegex is a sound prefilter: every parseable string matches its shape") {
+    val cases = Seq(
+      ("2006-01-02T15:04:05Z07:00", Seq("2026-03-04T05:06:07Z", "2026-03-04T05:06:07+05:30")),
+      ("02/Jan/2006:15:04:05 -0700", Seq("19/May/2024:00:00:00 +0000")),
+      ("2006-01-02", Seq("2026-03-04")),
+      ("Jan _2 15:04:05", Seq("Mar  5 04:00:01", "Mar 15 04:00:01")),
+      ("2006-01-02 15:04:05.000", Seq("2026-03-04 05:06:07.125")),
+      ("2006-01-02T15:04:05.999999999Z07:00",
+        Seq("2026-03-04T05:06:07.5Z", "2026-03-04T05:06:07Z")))
+    for ((layout, vals) <- cases) {
+      val re = GoTime.shapeRegex(layout)
+      assert(re.isDefined, s"shape must exist for '$layout'")
+      for (v <- vals) {
+        assert(parse(layout, v).isDefined, s"'$v' must parse under '$layout'")
+        assert(v.matches(re.get), s"'$v' must match the shape for '$layout'")
+      }
+    }
+    // and the prefilter earns its keep: cross-format shapes are rejected
+    // without paying a parse exception
+    assert(!"19/May/2024:00:00:00 +0000".matches(GoTime.shapeRegex("2006-01-02").get))
+    assert(!"2026-03-04".matches(GoTime.shapeRegex("02/Jan/2006:15:04:05 -0700").get))
+  }
+
   test("unknown tokens still fail closed") {
     intercept[IllegalArgumentException](GoTime.translate("2006-01-02 Q9"))
   }
