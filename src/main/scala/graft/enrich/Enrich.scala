@@ -26,7 +26,7 @@ object Enrich {
     val valueCols = lookup.columns.filterNot(keys.contains)
     val packed = lookup.select(
       keys.map(col) :+
-        struct(valueCols.map(col): _*).as(target): _*)
+        struct(valueCols.toIndexedSeq.map(col): _*).as(target): _*)
     df.join(broadcast(packed), keys, "left")
   }
 

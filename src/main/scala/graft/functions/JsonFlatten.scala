@@ -33,7 +33,7 @@ case class JsonFlatten(child: Expression) extends UnaryExpression {
     if (node == null || !node.isObject) return null
     val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
     val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val it = node.fields()
+    val it = node.properties().iterator()
     while (it.hasNext) {
       val e = it.next()
       keys += UTF8String.fromString(e.getKey)
