@@ -26,6 +26,30 @@ class DedupSpec extends SparkTestBase {
       assert(got(i.toLong) == localShingles(t), s"mismatch for '$t'")
   }
 
+  test("WordShingles fuzz: random space/rune soups equal sliding-window semantics") {
+    // deterministic pseudo-random texts over an alphabet that stresses
+    // the byte-span math: runs of spaces, multi-byte runes, empty words
+    val alphabet = "a b  cd 日 é\t "
+    val texts = (0 until 200).map { seed =>
+      val len = (Hashes.mix64(seed.toLong) & 0x1f).toInt // 0..31 chars
+      val sb = new StringBuilder
+      var i = 0
+      while (i < len) {
+        val k = (Hashes.mix64(seed.toLong * 131 + i) & 0x7fffffff) % alphabet.length
+        sb.append(alphabet.charAt(k.toInt))
+        i += 1
+      }
+      sb.toString
+    }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df2 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df2.select($"doc_id", Dedup.shingles($"text", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      for ((t, i) <- texts.zipWithIndex)
+        assert(got(i.toLong) == localShingles(t, n), s"n=$n text='$t'")
+    }
+  }
+
   test("MinHashSig expression equals the local reference signature") {
     val got = docs.limit(20)
       .select($"doc_id", MinHashSig(Dedup.shingles($"text"), 16).as("sig"))
