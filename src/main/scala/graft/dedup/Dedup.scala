@@ -109,25 +109,49 @@ object Dedup {
       .select(col(idCol), col(textCol), col("n_copies"))
 
   /** All pairs with shingle-Jaccard ≥ threshold, via inverted index:
-    * explode distinct shingles, self-join on shingle (skew-guarded by the
-    * `maxDf` frequency cap — a shingle appearing in more than `maxDf`
-    * docs is a stop-shingle and can't identify near-dups anyway), count
-    * intersections, compute |A∩B|/(|A|+|B|-|A∩B|).
+    * explode distinct shingles, group them into per-shingle posting lists,
+    * expand the intra-posting pairs, count intersections, compute
+    * |A∩B|/(|A|+|B|-|A∩B|). Never a cross join.
+    *
+    * The `maxDf` frequency cap is the skew guard — a shingle appearing in
+    * more than `maxDf` docs is a stop-shingle and can't identify near-dups
+    * anyway. It is enforced *inside* the posting-list aggregation
+    * ([[graft.functions.BoundedCollectList]]): a posting saturates at
+    * `maxDf` entries and collapses to NULL, so hot shingles cost O(maxDf)
+    * memory and are dropped in the same single pass. This replaces the
+    * earlier count → anti-join shape, which needed a second corpus scan
+    * plus an extra shuffle and — worse — a broadcast of the stop-shingle
+    * set, a set that grows with the corpus (at 100 TB every common English
+    * trigram exceeds any sane maxDf) and would OOM the driver.
+    *
+    * Pair fan-out is bounded: a posting of p ≤ maxDf ids expands to
+    * p·(p-1)/2 pairs, so the expansion never exceeds maxDf²/2 rows per
+    * shingle regardless of corpus size. Uncapped (`maxDf = Long.MaxValue`)
+    * falls back to the plain self-join, whose hot keys shuffle (postings
+    * must stay distributed when no cap bounds them).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-    val filtered =
-      if (maxDf == Long.MaxValue) sh
-      else {
-        val hot = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-        sh.join(broadcast(hot.select("s")), Seq("s"), "left_anti")
+    val inter =
+      if (maxDf == Long.MaxValue) {
+        sh.as("a").join(sh.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("c"))
+      } else {
+        require(maxDf <= Int.MaxValue, s"finite maxDf must fit an Int, got $maxDf")
+        val postings = sh.groupBy("s")
+          .agg(graft.functions.BoundedCollectList(col("id"), maxDf.toInt).as("ids"))
+          .filter(col("ids").isNotNull) // NULL = saturated = stop-shingle
+        postings
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("c"))
       }
     val sizes = df.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("n"))
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")

@@ -34,12 +34,14 @@ object QueriesML {
       |) k JOIN documents USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
-  // N-gram Jaccard near-dup pairs — exact, via inverted-index join,
-  // with the stop-shingle cap ON (a shingle appearing in > maxDf docs
-  // is removed by broadcast anti-join before the self-join — the skew
-  // guard that keeps a hot shingle from exploding the join at scale).
-  // The oracle mirrors the identical df-filter: intersections counted
-  // over kept shingles only, sizes from the full shingle sets.
+  // N-gram Jaccard near-dup pairs — exact, via inverted-index posting
+  // lists, with the stop-shingle cap ON (a shingle appearing in > maxDf
+  // docs saturates its bounded posting list and is dropped in the same
+  // aggregation pass — the skew guard that keeps a hot shingle from
+  // exploding the pair expansion at scale, with no corpus-dependent
+  // broadcast anywhere). The oracle mirrors the identical df-filter:
+  // intersections counted over kept shingles only, sizes from the full
+  // shingle sets.
   // ---------------------------------------------------------------
   val DedupPairsMaxDf = 20L
   def qDedupPairs(spark: SparkSession, dir: String): DataFrame =
@@ -210,10 +212,22 @@ object QueriesML {
   // the bucket space tracks the corpus and within-bucket join work stays
   // O(1) per vector at any scale; recall on positively-scaled duplicates
   // is width-independent (identical sign bits), so the oracle equality
-  // holds at every derived width.
-  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Ann.lshNearDupPairs(embedDedupCorpus(spark, dir), threshold = 0.99, dim = 64)
+  // holds at every derived width. The count is passed in (base table count
+  // — a zero-column parquet scan — plus the planted-copy upper bound
+  // ceil(n/5)) instead of counting the derived corpus, saving the extra
+  // union+transform job; nbitsFor only needs the magnitude. The occupancy
+  // guard runs at 1000 so the *verified* plan is the guarded one — on this
+  // corpus no bucket comes near the cap (AnnSpec pins that the guard is a
+  // no-op here), but a degenerate input (one constant vector × 10⁷) gets
+  // its exploding bucket dropped instead of hanging the self-join.
+  val EmbedNearDupMaxOccupancy = 1000L
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "embeddings").count()
+    Ann.lshNearDupPairs(embedDedupCorpus(spark, dir), threshold = 0.99, dim = 64,
+        maxBucketOccupancy = EmbedNearDupMaxOccupancy,
+        knownCount = base + (base + 4) / 5)
       .orderBy("id_a", "id_b")
+  }
   val qEmbedNearDupSql: String =
     s"""WITH corpus AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

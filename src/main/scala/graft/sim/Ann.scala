@@ -162,33 +162,60 @@ object Ann {
     * duplicate recall is exact by construction).
     *
     * `nbits = 0` (default) derives the width from the corpus count via
-    * [[nbitsFor]] — one cheap count() job — so bucket occupancy stays
-    * bounded as the corpus scales instead of collapsing into an O(n²)
+    * [[nbitsFor]] — one count() job, skipped when the caller passes
+    * `knownCount` (any upper bound within ~2× works: [[nbitsFor]] only
+    * uses the magnitude, and duplicate recall is width-independent) — so
+    * bucket occupancy stays bounded as the corpus scales instead of
+    * collapsing into an O(n²)
     * within-bucket join. `maxBucketOccupancy` is the skew guard (the
     * `maxDf` trick applied to buckets): a bucket holding more vectors
-    * than the cap is dropped from candidate generation before the
-    * self-join — at a sane cap this only ever fires on pathological skew
-    * (e.g. a constant vector repeated millions of times), where the
-    * within-bucket join would otherwise explode.
+    * than the cap is dropped from candidate generation — at a sane cap
+    * this only ever fires on pathological skew (e.g. a constant vector
+    * repeated millions of times), where the within-bucket pair expansion
+    * would otherwise explode.
+    *
+    * With a finite cap the whole query is ONE shuffle: buckets become
+    * bounded posting lists ([[graft.functions.BoundedCollectList]] —
+    * a bucket saturates at the cap and collapses to NULL in the same
+    * aggregation pass), and pairs expand inside each posting. The earlier
+    * guarded shape (occupancy count → anti-join → bucket self-join) cost
+    * two extra exchanges of the full vector column and, before round 4,
+    * forced a broadcast of a corpus-dependent hot-bucket set. Uncapped
+    * falls back to the bucket self-join (postings must stay distributed
+    * when nothing bounds them).
     */
   def lshNearDupPairs(df: DataFrame, threshold: Double, dim: Int,
       nbits: Int = 0, idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucketOccupancy: Long = Long.MaxValue): DataFrame = {
-    val bits = if (nbits > 0) nbits else nbitsFor(df.count())
+      maxBucketOccupancy: Long = Long.MaxValue, knownCount: Long = -1L): DataFrame = {
+    val bits =
+      if (nbits > 0) nbits
+      else nbitsFor(if (knownCount > 0) knownCount else df.count())
     val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       lshBuckets(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
-    val kept =
-      if (maxBucketOccupancy == Long.MaxValue) b
-      else {
-        val hot = b.groupBy("bucket").agg(count(lit(1)).as("occ"))
-          .filter(col("occ") > maxBucketOccupancy)
-        b.join(broadcast(hot.select("bucket")), Seq("bucket"), "left_anti")
+    val paired =
+      if (maxBucketOccupancy == Long.MaxValue) {
+        b.as("a").join(b.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("ida"), col("a.v").as("va"),
+            col("b.id").as("idb"), col("b.v").as("vb"))
+      } else {
+        require(maxBucketOccupancy <= Int.MaxValue,
+          s"finite maxBucketOccupancy must fit an Int, got $maxBucketOccupancy")
+        val postings = b.groupBy("bucket")
+          .agg(graft.functions.BoundedCollectList(
+            struct(col("id"), col("v")), maxBucketOccupancy.toInt).as("ps"))
+          .filter(col("ps").isNotNull) // NULL = saturated = hot bucket dropped
+        postings
+          .select(explode(col("ps")).as("a"), col("ps"))
+          .select(col("a"), explode(col("ps")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("ida"), col("a.v").as("va"),
+            col("b.id").as("idb"), col("b.v").as("vb"))
       }
-    kept.as("a").join(kept.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", CosineSim(col("a.v"), col("b.v")))
+    paired
+      .withColumn("sim", CosineSim(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
         round(col("sim"), 4).as("sim"))
   }
 

@@ -116,6 +116,28 @@ class DedupSpec extends SparkTestBase {
     assert(verdict(7L) == ((7L, true)) && verdict(9L) == ((7L, false)))
   }
 
+  test("capped jaccardPairs: posting-list plan, no broadcast hint, equals self-join when nothing is hot") {
+    val q = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8, maxDf = 20)
+    // the r3 shape forced broadcast() of the stop-shingle set — a set that
+    // grows with the corpus (driver OOM at 100 TB); the posting-list shape
+    // must carry NO hint (AQE decides) and build postings in ONE pass
+    val hints = q.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, "no forced broadcast of corpus-dependent sets")
+    assert(q.queryExecution.optimizedPlan.toString.contains("bounded_collect"),
+      "the df cap must be enforced inside the posting-list aggregation")
+    // with a cap no shingle reaches, capped == uncapped (same pairs)
+    val df = Seq(
+      (1L, "p q r s t"), (2L, "p q r s u"), (3L, "zz yy xx ww vv")
+    ).toDF("id", "text")
+    val capped = Dedup.jaccardPairs(df, "id", "text", 0.3, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.jaccardPairs(df, "id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
   test("jaccardPairs df-cap drops hot shingles deterministically") {
     val df = Seq(
       (1L, "x y z common common2 common3"),

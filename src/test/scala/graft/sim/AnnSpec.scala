@@ -122,6 +122,24 @@ class AnnSpec extends SparkTestBase {
     assert(guarded.isEmpty, "the guard must excise the degenerate bucket before the self-join")
   }
 
+  test("the wired occupancy guard (qEmbedNearDup default) is a no-op on the planted corpus, with no broadcast hint") {
+    val corpus = graft.queries.QueriesML.embedDedupCorpus(spark, dir)
+    val base = emb.count()
+    val guardOff = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Ann.lshNearDupPairs(corpus, threshold = 0.99, dim = 64,
+      maxBucketOccupancy = graft.queries.QueriesML.EmbedNearDupMaxOccupancy,
+      knownCount = base + (base + 4) / 5)
+    val hints = guarded.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "the hot-bucket anti-join must not force a broadcast (AQE decides)")
+    val got = guarded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == guardOff && got.nonEmpty,
+      "guard at the wired default must not change the verified result")
+  }
+
   test("NearestCells fused argmax equals sort-based selection (sim desc, cent_id asc ties)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
