@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *     count on lists/maps), dispatched statically via the schema;
   *   - string methods: `startsWith endsWith contains matches` plus the
   *     `ext.Strings()` set: `charAt indexOf lastIndexOf lowerAscii
-  *     upperAscii replace split join substring trim` (0-based CEL
-  *     indices; bounded-count replace and `format` stay unsupported —
-  *     fail closed);
+  *     upperAscii replace split join substring trim format quote`
+  *     (0-based CEL indices; `format` requires a literal format string
+  *     and supports the `%s %d %f %e %x %X %o` verbs with optional
+  *     precision — `%b` and dynamic format strings fail closed; the
+  *     only remaining ext.Strings divergence is bounded-count
+  *     3-arg `replace`, which also fails closed);
   *   - `json.encode/decode` and `base64.encode/decode` (the custom json
   *     lib + `ext.Encoders()`, `cel.go:40-44`).
   *
@@ -363,9 +366,30 @@ object Cel {
         go(t).substr(go(s).cast("int") + lit(1),
           (go(e).cast("int") - go(s).cast("int")))
       case Method(t, "trim", List()) =>
-        // strings.TrimSpace trims UNICODE whitespace; Spark's trim() only
-        // trims ' ', so use the \s class (covers the reference's cases)
-        regexp_replace(go(t), "^\\s+|\\s+$", "")
+        // cel-go trim follows unicode.IsSpace — (?U) switches java's \s to
+        // the Unicode White_Space property (NBSP, NEL, U+2000-range, ...),
+        // which matches Go's set; bare \s would be ASCII-only
+        regexp_replace(go(t), "(?U)^\\s+|\\s+$", "")
+      // cel-go ext.Strings format(): "%s=%d".format([a, b]). The format
+      // string must be a literal (it defines the plan shape) and the args
+      // a list literal; verbs map onto java.util.Formatter via Spark's
+      // format_string, which agrees with cel-go on the supported set
+      // (%f default precision is 6 in both).
+      case Method(Lit(fmt: String), "format", List(ListLit(args))) =>
+        validateFormat(fmt, args.length)
+        format_string(fmt, args.map(go): _*)
+      case Method(_, "format", _) =>
+        throw new IllegalArgumentException(
+          "CEL format() needs a literal format string and a list literal of args")
+      // cel-go ext.Strings quote(): Go strconv.Quote escaping + wrapping
+      // double quotes, as a chain of literal replaces (backslash first)
+      case Method(t, "quote", List()) =>
+        val escaped = Seq(
+          "\\" -> "\\\\", "\"" -> "\\\"", "\u0007" -> "\\a", "\b" -> "\\b",
+          "\f" -> "\\f", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t",
+          "\u000b" -> "\\v"
+        ).foldLeft(go(t)) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+        concat(lit("\""), escaped, lit("\""))
       case Method(t, name, _) => throw new IllegalArgumentException(s"unsupported CEL method: $name")
       case Macro(t, "map", v, body) =>
         transform(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
@@ -377,6 +401,24 @@ object Cel {
         forall(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
       case other => throw new IllegalArgumentException(s"unsupported CEL expr: $other")
     }
+  }
+
+  /** Accept only the format verbs where cel-go and java.util.Formatter
+    * agree (`%s %d %f %e %x %X %o`, optional `%.Nf`-style precision,
+    * `%%` escape), and check the arg count matches the verb count —
+    * anything else (notably `%b` binary, positional args) fails closed
+    * at compile time rather than diverging at run time.
+    */
+  private def validateFormat(fmt: String, nargs: Int): Unit = {
+    val verb = java.util.regex.Pattern.compile("%(?:%|(?:\\.\\d+)?([sdfeExXo]))")
+    val m = verb.matcher(fmt)
+    var count = 0
+    while (m.find()) if (m.group(1) != null) count += 1
+    // strip every recognized verb; any '%' left is an unsupported one
+    require(verb.matcher(fmt).replaceAll("").indexOf('%') < 0,
+      s"unsupported CEL format verb in '$fmt' (supported: %s %d %f %e %x %X %o with optional precision)")
+    require(count == nargs,
+      s"CEL format '$fmt' has $count verbs but ${nargs} args")
   }
 
   /** `locate` with fully dynamic operands (the sql.functions overloads
@@ -396,7 +438,7 @@ object Cel {
     case Method(Ident("json"), "encode", _) => true
     case Method(Ident("base64"), "encode", _) => true
     case Method(_, "charAt" | "lowerAscii" | "upperAscii" | "replace"
-                   | "substring" | "trim" | "join", _) => true
+                   | "substring" | "trim" | "join" | "format" | "quote", _) => true
     case _ => false
   }
 }

@@ -24,7 +24,11 @@ object Dedup {
 
   /** Word n-gram shingles of a text column (space-joined, distinct in
     * first-occurrence order). Safe for texts shorter than n (empty array,
-    * not an error). ONE fused expression ([[WordShingles]]) — the Column
+    * not an error). NULL text yields NULL (nullIntolerant), not an empty
+    * array — callers that need the empty-array contract should wrap with
+    * `coalesce(shingles(c), array())`; every in-repo caller (explode,
+    * `size(...) > 0` filters, MinHashSig) treats the two identically.
+    * ONE fused expression ([[WordShingles]]) — the Column
     * spelling (split → sequence → transform(concat_ws(slice)) →
     * array_distinct) allocates five intermediate arrays and rebuilds
     * every shingle string per row; the fused form exploits that a
@@ -90,9 +94,14 @@ object Dedup {
       new GenericArrayData(out.toArray)
     }
 
+    def evalInput(s: Any): ArrayData = nullSafeEval(s).asInstanceOf[ArrayData]
+
+    // codegen must route through evalInput (the memoized nullSafeEval), not
+    // compute() directly — whole-stage codegen is the normal execution path,
+    // and CollapseProject duplicates this expression per use site there too
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
-      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.evalInput($v);")
     }
 
     override protected def withNewChildInternal(c: Expression): WordShingles =

@@ -62,10 +62,13 @@ object GeoIp {
     * reference would error per event). Invalid IPs get BOTH the
     * `_geoip_failure` tag and the `_geoip_error` field (the `AddError`
     * convention, event.go:293-296); valid-but-unknown IPs are left
-    * untouched.
+    * untouched. `ipFieldName` is the configured source-field name used in
+    * the error text — the reference interpolates it
+    * (actiongeoip.go:120: `Field '%s' is not a valid IP address`).
     */
   def enrich(df: DataFrame, ipCol: Column, lookup: DataFrame,
-      targetCol: String = "source", targetField: String = "geo"): DataFrame = {
+      targetCol: String = "source", targetField: String = "geo",
+      ipFieldName: String = "ip"): DataFrame = {
     val joined = df
       .withColumn("_geoip_key", ipCol)
       .join(broadcast(lookup.withColumnRenamed("ip", "_geoip_key")),
@@ -96,7 +99,7 @@ object GeoIp {
         joined.withColumn(Envelope.TagsCol,
           EventFns.withActionFailure(col(Envelope.TagsCol), invalid, "geoip"))
       else joined
-    val errMsg = lit("Field is not a valid IP address")
+    val errMsg = lit(s"Field '$ipFieldName' is not a valid IP address")
     val withErr =
       if (tagged.columns.contains(Envelope.FieldsCol))
         tagged.withColumn(Envelope.FieldsCol,

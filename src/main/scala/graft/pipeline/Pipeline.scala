@@ -272,7 +272,8 @@ case class GeoIpStage(field: String, db: Seq[graft.enrich.GeoRecord],
     require(p.length == 2, s"geoip target must be a two-level path: $target")
     val lookup = graft.enrich.GeoIp.lookupFrame(df.sparkSession, db)
     val ip = when(guard, Pipeline.resolve(df)(field)) // unguarded rows: no-op
-    graft.enrich.GeoIp.enrich(df, ip, lookup, targetCol = p(0), targetField = p(1))
+    graft.enrich.GeoIp.enrich(df, ip, lookup, targetCol = p(0), targetField = p(1),
+      ipFieldName = field)
   }
 }
 

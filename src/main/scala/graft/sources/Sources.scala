@@ -31,40 +31,88 @@ object Sources {
     * `toSeq`. Each chunk is one atomic parquet append, so an incremental
     * scan over `spoolDir` picks chunks up as they land. Returns the chunk
     * count.
+    *
+    * Offsets are registrar-exact (`lc-lib/registrar` records the byte
+    * position consumed so far): each line's offset = bytes consumed
+    * through its terminator — and a final line that ends at EOF without a
+    * newline advances by its bytes only, so resuming at the recorded
+    * offset re-reads nothing and skips nothing. CRLF lines strip the
+    * `\r` from `text` but count it in the offset (it was consumed).
     */
   def spoolStdin(spark: SparkSession, in: InputStream, spoolDir: String,
       batchLines: Int = 1 << 16, parallelism: Int = 8): Int = {
     import spark.implicits._
-    val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    val bin = new java.io.BufferedInputStream(in, 1 << 16)
     var off = 0L
     var chunks = 0
-    while (it.hasNext) {
+    var eof = false
+    while (!eof) {
       val batch = new scala.collection.mutable.ArrayBuffer[(String, Long)](
         math.min(batchLines, 1 << 16))
-      while (it.hasNext && batch.size < batchLines) {
-        val line = it.next()
-        off += line.getBytes("UTF-8").length + 1 // +1 = the newline
-        batch += ((line, off))
+      while (!eof && batch.size < batchLines) {
+        var b = bin.read()
+        if (b == -1) eof = true
+        else {
+          val bout = new java.io.ByteArrayOutputStream(256)
+          while (b != -1 && b != '\n') { bout.write(b); b = bin.read() }
+          val raw = bout.toByteArray
+          val terminated = b == '\n'
+          if (!terminated) eof = true
+          off += raw.length + (if (terminated) 1 else 0)
+          val textLen =
+            if (terminated && raw.nonEmpty && raw(raw.length - 1) == '\r') raw.length - 1
+            else raw.length
+          batch += ((new String(raw, 0, textLen, "UTF-8"), off))
+        }
       }
-      spark.createDataset(batch.toSeq).toDF("text", "offset")
-        .withColumn("path", lit("-"))
-        .repartition(parallelism)
-        .write.mode("append").parquet(spoolDir)
-      chunks += 1
+      if (batch.nonEmpty) {
+        spark.createDataset(batch.toSeq).toDF("text", "offset")
+          .withColumn("path", lit("-"))
+          .repartition(parallelism)
+          .write.mode("append").parquet(spoolDir)
+        chunks += 1
+      }
     }
     chunks
+  }
+
+  // temp spools created by [[stdin]], swept at JVM exit (the spool is an
+  // ingestion buffer, not an output — the reference harvester leaves no
+  // on-disk residue either); also sweepable eagerly via [[cleanupSpools]]
+  private val pendingSpools = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val sweepHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupSpools()))
+
+  /** Delete every temp spool created by [[stdin]] in this JVM. Runs
+    * automatically at JVM exit; callers done with the scan may invoke it
+    * eagerly.
+    */
+  def cleanupSpools(): Unit = {
+    var dir = pendingSpools.poll()
+    while (dir != null) {
+      val p = java.nio.file.Paths.get(dir)
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+          try Files.delete(f) catch { case _: java.io.IOException => () })
+      }
+      dir = pendingSpools.poll()
+    }
   }
 
   /** One event per stdin line with the harvester's running byte offset
     * (offset = end of line in the stream, like the registrar records).
     * Convenience wrapper over [[spoolStdin]] for bounded inputs: spools to
-    * a temp directory and returns the scan — driver memory stays bounded
-    * by `batchLines` regardless of input size.
+    * a temp directory (swept at JVM exit, or eagerly via
+    * [[cleanupSpools]]) and returns the scan — driver memory stays
+    * bounded by `batchLines` regardless of input size.
     */
   def stdin(spark: SparkSession, in: InputStream = System.in,
       parallelism: Int = 8, batchLines: Int = 1 << 16): DataFrame = {
     import spark.implicits._
     val spoolDir = Files.createTempDirectory("graft_stdin_spool").toString
+    sweepHookInstalled
+    pendingSpools.add(spoolDir)
     val chunks = spoolStdin(spark, in, spoolDir, batchLines, parallelism)
     if (chunks == 0)
       Seq.empty[(String, Long)].toDF("text", "offset").withColumn("path", lit("-"))

@@ -158,6 +158,36 @@ class CelSpec extends SparkTestBase {
     assert(s("size(\"a b c\".trim())").as[Int].collect()(0) == 5)
   }
 
+  test("ext.Strings format(): literal format string, cel-go verb subset") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    assert(s("\"%s=%d\".format([\"n\", 42])").as[String].collect()(0) == "n=42")
+    assert(s("\"%.2f%%\".format([1.5])").as[String].collect()(0) == "1.50%")
+    assert(s("\"%x|%X|%o\".format([255, 255, 8])").as[String].collect()(0) == "ff|FF|10")
+    assert(s("\"msg=%s\".format([event.message])").as[String].collect()(0)
+      == "msg=ERROR something bad")
+    assert(s("\"plain, no verbs\".format([])").as[String].collect()(0) == "plain, no verbs")
+    // composes as a string for + and size()
+    assert(s("size(\"%d\".format([7]))").as[Int].collect()(0) == 1)
+    // fail-closed cases: %b verb, dynamic format string, arity mismatch
+    intercept[IllegalArgumentException](Cel.compile("\"%b\".format([3])", resolve))
+    intercept[IllegalArgumentException](Cel.compile("event.message.format([1])", resolve))
+    intercept[IllegalArgumentException](Cel.compile("\"%s %s\".format([1])", resolve))
+  }
+
+  test("ext.Strings quote(): Go strconv.Quote escaping") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    assert(s("\"plain\".quote()").as[String].collect()(0) == "\"plain\"")
+    assert(s("\"tab\\tnl\\n\".quote()").as[String].collect()(0) == "\"tab\\tnl\\n\"")
+    assert(s("\"q\\\"b\\\\s\".quote()").as[String].collect()(0) == "\"q\\\"b\\\\s\"")
+  }
+
+  test("trim() strips Unicode whitespace like Go strings.TrimSpace") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    // NBSP (U+00A0), EN QUAD (U+2000), IDEOGRAPHIC SPACE (U+3000), NEL (U+0085)
+    val padded = "\"" + "\u00A0\u2000 x y\u3000\u0085" + "\".trim()"
+    assert(s(padded).as[String].collect()(0) == "x y")
+  }
+
   test("division and modulo by zero are eval errors → branch false, not fatal") {
     assert(evalBool("event.num / (event.num - event.num) > 0") == Seq(false, false))
     assert(evalBool("event.num % (event.num - event.num) == 0") == Seq(false, false))

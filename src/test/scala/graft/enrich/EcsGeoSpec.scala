@@ -125,7 +125,8 @@ class EcsGeoSpec extends SparkTestBase {
       .select(col("i"), element_at(col(Envelope.FieldsCol), "_geoip_error").as("err"),
         element_at(col(Envelope.FieldsCol), "keep").as("keep"))
       .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
-    assert(out(0)._1 != null && out(0)._1.contains("not a valid IP"))
+    // byte-level fidelity with actiongeoip.go:120's fmt.Sprintf
+    assert(out(0)._1 == "Field 'ip' is not a valid IP address")
     assert(out(0)._2 == "v", "existing fields survive the error merge")
     assert(out(1)._1 == null, "valid IPs get no error field")
     // without a fields map: a top-level _geoip_error column

@@ -41,6 +41,31 @@ class SourcesSpec extends SparkTestBase {
     assert(df.select("path").distinct().collect().map(_.getString(0)).toSeq == Seq("-"))
   }
 
+  test("stdin: final unterminated line records its true end offset; CRLF counted but stripped") {
+    // "a\nbb" — the stream ends mid-line: the registrar-exact offset for
+    // "bb" is 4 (no phantom newline), where the pre-round-4 code said 5
+    val in = new java.io.ByteArrayInputStream("a\nbb".getBytes("UTF-8"))
+    val rows = Sources.stdin(spark, in, parallelism = 2)
+      .orderBy("offset").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 2L), ("bb", 4L)))
+    // CRLF: '\r' consumed (offset counts it) but stripped from text
+    val in2 = new java.io.ByteArrayInputStream("x\r\ny\n".getBytes("UTF-8"))
+    val rows2 = Sources.stdin(spark, in2, parallelism = 2)
+      .orderBy("offset").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows2.toSeq == Seq(("x", 3L), ("y", 5L)))
+  }
+
+  test("stdin temp spools are tracked and swept (delete-on-exit hygiene)") {
+    val in = new java.io.ByteArrayInputStream("only line\n".getBytes("UTF-8"))
+    val df = Sources.stdin(spark, in, parallelism = 2)
+    val spoolDir = df.inputFiles.head.replaceFirst("^file:", "").replaceFirst("/[^/]+$", "")
+    assert(spoolDir.contains("graft_stdin_spool"))
+    assert(df.count() == 1) // consume before sweeping
+    Sources.cleanupSpools() // the JVM-exit hook runs this same sweep
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(spoolDir)),
+      s"spool $spoolDir must be deleted by the sweep")
+  }
+
   test("socket stream carries _meta_receiver connection metadata and sinks strip it (metadata_receiver.go:22-32)") {
     val server = new java.net.ServerSocket(0)
     try {
