@@ -47,15 +47,13 @@ object RunPipeline {
     // Live admin endpoint (the reference's REST admin API,
     // `lc-lib/admin/server.go`): opt-in via GRAFT_ADMIN_PORT. While the
     // job runs, GET /pipeline/partitions streams the accumulating
-    // per-partition throughput and /pipeline/lineage the sealed-bucket
-    // resume progress — what `lc-admin` would poll.
+    // per-partition throughput, /pipeline/lineage the sealed-bucket
+    // resume progress, and /pipeline/sinks the per-sink turn/byte
+    // counters over buckets committed so far (the publisher/endpoint
+    // counters, publisher/api.go:33-36) — what `lc-admin` would poll.
     val admin = sys.env.get("GRAFT_ADMIN_PORT").map { p =>
-      val srv = new graft.admin.AdminServer()
-      srv.register("pipeline/partitions", () => listener.snapshot)
-      srv.register("pipeline/lineage", () => Map(
-        "batch_id" -> batchId,
-        "buckets_committed" -> Lineage.committed(outputRoot).size,
-        "buckets_total" -> nBuckets))
+      val srv = graft.admin.AdminServer.forBatch(
+        spark, outputRoot, batchId, nBuckets, () => listener.snapshot)
       val addr = srv.start(p.toInt)
       println(s"""ADMIN {"host":"${addr.getHostString}","port":${addr.getPort}}""")
       srv

@@ -55,7 +55,8 @@ object SparkEntry {
       "q_token_hist" -> (graft.queries.QueriesML.qTokenHist _),
       "q_top_terms" -> (graft.queries.QueriesML.qTopTerms _),
       "q_cel_strings" -> (graft.queries.QueriesR3.qCelStrings _),
-      "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _)
+      "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _),
+      "q_facts" -> (graft.queries.QueriesR4.qFacts _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,7 +104,8 @@ object SparkEntry {
       "q_token_hist" -> graft.queries.QueriesML.qTokenHistSql,
       "q_top_terms" -> graft.queries.QueriesML.qTopTermsSql,
       "q_cel_strings" -> graft.queries.QueriesR3.qCelStringsSql,
-      "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql
+      "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql,
+      "q_facts" -> graft.queries.QueriesR4.qFactsSql
     )
   }
 }

@@ -110,4 +110,34 @@ object AdminServer {
         Option(q.name).getOrElse(q.id.toString) -> q.status.message).toMap)
     srv
   }
+
+  /** The batch job's admin tree (wired by [[graft.RunPipeline]]): the
+    * publisher/endpoint counters the reference registers on its api root
+    * (`lc-lib/publisher/api.go:33-36`, `endpoint/api.go:34-45`) — live
+    * per-sink turn/byte counts over the buckets committed SO FAR (counts
+    * grow as buckets seal, exactly like publishedLines grows per ack) —
+    * plus lineage-resume progress and the per-partition throughput
+    * snapshot.
+    */
+  def forBatch(spark: org.apache.spark.sql.SparkSession, outputRoot: String,
+      batchId: String, nBuckets: Int, partitions: () => Any): AdminServer = {
+    val srv = new AdminServer()
+    srv.register("pipeline/partitions", partitions)
+    srv.register("pipeline/lineage", () => Map(
+      "batch_id" -> batchId,
+      "buckets_committed" -> graft.lineage.Lineage.committed(outputRoot).size,
+      "buckets_total" -> nBuckets))
+    srv.register("pipeline/sinks", () => {
+      if (graft.lineage.Lineage.committed(outputRoot).isEmpty)
+        Map.empty[String, Any]
+      else
+        graft.route.Router.sinkCounts(
+            graft.lineage.Lineage.readData(spark, outputRoot))
+          .collect() // bounded: one row per sink
+          .map(r => r.getString(0) -> Map(
+            "turns" -> r.getLong(1), "bytes" -> r.getLong(2)))
+          .toMap
+    })
+    srv
+  }
 }

@@ -65,6 +65,35 @@ class AdminServerSpec extends AnyFunSuite {
     } finally { q.stop(); srv.stop() }
   }
 
+  test("forBatch exposes per-sink counters and lineage progress (publisher/api.go:33-36 analog)") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("admin_batch").toString
+    val df = Seq(
+      ("c1", "hello", "sink_main"), ("c1", "world!", "sink_main"),
+      ("c2", "err", "sink_errors")
+    ).toDF("conv_id", "text", graft.route.Router.SinkCol)
+    val srv = AdminServer.forBatch(spark, root, "b1", 4, () => Map("p" -> 1))
+    val addr = srv.start()
+    try {
+      // before any bucket commits: empty counters, zero progress
+      val (c0, empty) = get(addr, "/pipeline/sinks")
+      assert(c0 == 200 && empty == "{}")
+      assert(get(addr, "/pipeline/lineage")._2.contains("\"buckets_committed\":0"))
+      graft.lineage.Lineage.run(df, root, nBuckets = 4, batchId = "b1")
+      // after commit: live counts over the sealed buckets
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(get(addr, "/pipeline/sinks")._2)
+      assert(node.get("sink_main").get("turns").asLong == 2L)
+      assert(node.get("sink_main").get("bytes").asLong == 11L) // "hello"+"world!"
+      assert(node.get("sink_errors").get("turns").asLong == 1L)
+      val lin = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(get(addr, "/pipeline/lineage")._2)
+      assert(lin.get("buckets_committed").asInt > 0 && lin.get("buckets_total").asInt == 4)
+      assert(get(addr, "/pipeline")._2.contains("\"sinks\""))
+    } finally srv.stop()
+  }
+
   test("respond() unit surface: empty tree path vs leaf precedence") {
     val srv = new AdminServer()
     srv.register("a/b/c", () => 1)
