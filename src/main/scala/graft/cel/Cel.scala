@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *     upperAscii replace split join substring trim format quote`
   *     (0-based CEL indices; `format` requires a literal format string
   *     and supports the `%s %d %f %e %x %X %o` verbs with optional
-  *     precision — `%b` and dynamic format strings fail closed; the
-  *     only remaining ext.Strings divergence is bounded-count
-  *     3-arg `replace`, which also fails closed);
+  *     precision — `%b` and dynamic format strings fail closed;
+  *     bounded-count 3-arg `replace` works for literal operands with a
+  *     non-empty search — the only remaining ext.Strings residue is its
+  *     dynamic-operand / empty-search corner, which fails closed);
   *   - `json.encode/decode` and `base64.encode/decode` (the custom json
   *     lib + `ext.Encoders()`, `cel.go:40-44`).
   *
@@ -148,7 +149,13 @@ object Cel {
     private def parseUnary(): Expr =
       peek match {
         case Some(Tok("op", "!")) => next(); Unary("!", parseUnary())
-        case Some(Tok("op", "-")) => next(); Unary("-", parseUnary())
+        case Some(Tok("op", "-")) => next(); parseUnary() match {
+          // fold negative numeric literals so `-1` IS a literal (the
+          // literal-only surfaces — 3-arg replace count — see it as one)
+          case Lit(l: Long) => Lit(-l)
+          case Lit(d: Double) => Lit(-d)
+          case e => Unary("-", e)
+        }
         case _ => parsePostfix()
       }
 
@@ -349,9 +356,21 @@ object Cel {
         translate(go(t), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
       case Method(t, "replace", List(o, n)) =>
         // strings.ReplaceAll — LITERAL search/replacement (regexp_replace
-        // would misread `$`/`\` in the replacement); the 3-arg
-        // bounded-count form is not column-expressible, fails closed
+        // would misread `$`/`\` in the replacement)
         replace(go(t), go(o).cast("string"), go(n).cast("string"))
+      // bounded-count replace (Go strings.Replace): first `cnt`
+      // occurrences only. Column-expressible for literal operands:
+      // split on the quoted search with limit cnt+1 (Java split keeps
+      // trailing empties at a positive limit), then join with the
+      // replacement. cnt < 0 = replace-all (Go semantics); dynamic
+      // operands or an empty search string (Go's insert-between-runes
+      // case) fail closed.
+      case Method(t, "replace", List(Lit(o: String), Lit(nw: String), Lit(cnt: Long)))
+          if o.nonEmpty =>
+        if (cnt < 0) replace(go(t), lit(o), lit(nw))
+        else if (cnt == 0) go(t)
+        else array_join(
+          split(go(t), java.util.regex.Pattern.quote(o), cnt.toInt + 1), nw)
       case Method(t, "split", List(Lit(sep: String))) =>
         // cel split is a LITERAL separator; Spark's is a regex — quote it.
         // Trailing empties kept both sides (Go strings.Split semantics).

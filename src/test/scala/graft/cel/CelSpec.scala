@@ -158,6 +158,24 @@ class CelSpec extends SparkTestBase {
     assert(s("size(\"a b c\".trim())").as[Int].collect()(0) == 5)
   }
 
+  test("ext.Strings 3-arg replace(): bounded count, Go strings.Replace semantics") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    assert(s("\"hello hello\".replace(\"he\", \"we\", 1)").as[String].collect()(0) == "wello hello")
+    assert(s("\"hello hello\".replace(\"he\", \"we\", 0)").as[String].collect()(0) == "hello hello")
+    // negative count = replace all; count beyond occurrences = all
+    assert(s("\"aXbXc\".replace(\"X\", \"-\", -1)").as[String].collect()(0) == "a-b-c")
+    assert(s("\"aXbXc\".replace(\"X\", \"-\", 9)").as[String].collect()(0) == "a-b-c")
+    // trailing occurrence at the end of the string survives the split-join
+    assert(s("\"aXbX\".replace(\"X\", \"-\", 2)").as[String].collect()(0) == "a-b-")
+    // regex metacharacters are literal
+    assert(s("\"a.b.c\".replace(\".\", \"-\", 1)").as[String].collect()(0) == "a-b.c")
+    // dynamic operands / empty search fail closed (documented residue)
+    intercept[IllegalArgumentException](
+      Cel.compile("event.message.replace(event.message, \"x\", 1)", resolve))
+    intercept[IllegalArgumentException](
+      Cel.compile("\"abc\".replace(\"\", \"-\", 1)", resolve))
+  }
+
   test("ext.Strings format(): literal format string, cel-go verb subset") {
     val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
     assert(s("\"%s=%d\".format([\"n\", 42])").as[String].collect()(0) == "n=42")
