@@ -56,7 +56,8 @@ object SparkEntry {
       "q_top_terms" -> (graft.queries.QueriesML.qTopTerms _),
       "q_cel_strings" -> (graft.queries.QueriesR3.qCelStrings _),
       "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _),
-      "q_facts" -> (graft.queries.QueriesR4.qFacts _)
+      "q_facts" -> (graft.queries.QueriesR4.qFacts _),
+      "q_kmeans" -> (graft.queries.QueriesR4.qKmeans _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,7 +106,8 @@ object SparkEntry {
       "q_top_terms" -> graft.queries.QueriesML.qTopTermsSql,
       "q_cel_strings" -> graft.queries.QueriesR3.qCelStringsSql,
       "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql,
-      "q_facts" -> graft.queries.QueriesR4.qFactsSql
+      "q_facts" -> graft.queries.QueriesR4.qFactsSql,
+      "q_kmeans" -> graft.queries.QueriesR4.qKmeansSql
     )
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sim.Ann
 import graft.sources.Facts
 
 /** Round-4 driver queries. */
@@ -10,6 +11,62 @@ object QueriesR4 {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------
+  // Deterministic spherical k-means (semantic-dedup clustering / trained
+  // IVF quantizer): k=8, two Lloyd iterations, centroids = exact
+  // e6-quantized integer sums (cosine is scale-invariant, so the sum IS
+  // the mean direction and no order-dependent float accumulation exists
+  // anywhere). The oracle unrolls both iterations in SQL — quantization,
+  // fused-argmax assignment (sim DESC, cent ASC ties), exact integer
+  // centroid sums, empty-cluster carry — and the final per-cluster
+  // (size, min id, centroid component 0) must hash-match.
+  // ---------------------------------------------------------------
+  val KmeansK = 8
+  val KmeansIters = 2
+  def qKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = Ann.kmeansCentroids(emb, k = KmeansK, iters = KmeansIters, dim = 64)
+    val c0 = typedLit(cents.map(_(0)).toSeq)
+    Ann.kmeansAssign(emb, cents)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+      .withColumn("c0", element_at(c0, col("cluster").cast("int") + 1))
+      .orderBy("cluster")
+  }
+  val qKmeansSql: String = {
+    def iter(prev: String, a: String, s: String, next: String): String =
+      s"""$a AS (SELECT vec_id, q, cent FROM (
+         |   SELECT e.vec_id, e.q, c.cent,
+         |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |       list_cosine_similarity(e.v, list_transform(c.cs, x -> x::DOUBLE)) DESC,
+         |       c.cent) AS rk
+         |   FROM e CROSS JOIN $prev c) WHERE rk = 1),
+         |$s AS (SELECT cent, list(s ORDER BY pos) AS cs FROM (
+         |   SELECT a.cent, t.pos, SUM(a.q[t.pos + 1]) AS s
+         |   FROM $a a CROSS JOIN range(64) t(pos)
+         |   GROUP BY a.cent, t.pos) GROUP BY cent),
+         |$next AS (SELECT p.cent, COALESCE($s.cs, p.cs) AS cs
+         |  FROM $prev p LEFT JOIN $s USING (cent))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent, q AS cs
+       |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $KmeansK)),
+       |${iter("c0", "a1", "s1", "c1")},
+       |${iter("c1", "a2", "s2", "c2")},
+       |af AS (SELECT vec_id, cent FROM (
+       |   SELECT e.vec_id, c.cent,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |       list_cosine_similarity(e.v, list_transform(c.cs, x -> x::DOUBLE)) DESC,
+       |       c.cent) AS rk
+       |   FROM e CROSS JOIN c2 c) WHERE rk = 1)
+       |SELECT af.cent AS cluster, count(*) AS n, min(af.vec_id) AS min_id,
+       |  any_value(c2.cs[1]) AS c0
+       |FROM af JOIN c2 ON af.cent = c2.cent
+       |GROUP BY af.cent ORDER BY cluster""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // fact-courier analog (munin.go / munintype.go): events shaped into

@@ -272,6 +272,73 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Deterministic distributed spherical k-means over an embedding column
+    * — the clustering primitive behind SemDeDup-style semantic dedup and
+    * a TRAINED coarse quantizer for [[ivfTopK]]-style probing (the
+    * first-`nlist` quantizer is the untrained baseline).
+    *
+    * Engineered for bit-exact cross-engine reproducibility, which plain
+    * Lloyd's cannot give (a float mean is a cross-row float sum whose
+    * value depends on partial-aggregation order):
+    *
+    *  - components are quantized once to e6-scaled integers
+    *    (`round(x·10⁶)` as long) and each centroid is the EXACT per-dim
+    *    integer SUM of its members — `sum(long)` is associative, so any
+    *    partial-aggregation order yields the same centroid;
+    *  - cosine is scale-invariant, so the un-normalized sum IS the
+    *    spherical-k-means mean direction — no division, no float
+    *    centroid anywhere;
+    *  - init = the first `k` corpus vectors by id (quantized); a fixed
+    *    iteration count (no convergence test) keeps the whole procedure
+    *    a pure function of the input;
+    *  - assignment per iteration is the fused [[NearestCells]] argmax —
+    *    zero shuffle; the only exchange per iteration is the k×dim-group
+    *    sum, collected to the driver (bounded: k·dim rows — the
+    *    quantizer contract, same as [[ivfTopK]]'s centroid collect);
+    *  - an emptied cluster keeps its previous centroid.
+    *
+    * Returns the final centroid sums, row-per-cluster (index 0..k-1).
+    */
+  def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val quant = transform(col("v"), x => round(x * lit(1000000.0)).cast("long"))
+    var cents: Array[Array[Long]] = v.orderBy("id").limit(k)
+      .select(quant.as("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k, s"corpus has fewer than k=$k vectors")
+    for (_ <- 1 to iters) {
+      val sums = v
+        .withColumn("cluster", element_at(kmeansCells(col("v"), cents, 1), 1))
+        .select(col("cluster"), posexplode(quant))
+        .groupBy("cluster", "pos").agg(sum(col("col")).as("s"))
+        .collect() // bounded: k×dim rows — the quantizer, not the data
+      val next = Array.tabulate(k)(c => cents(c).clone()) // empty cluster → keep
+      val seen = Array.fill(k)(false)
+      sums.foreach { r =>
+        val c = r.getLong(0).toInt
+        if (!seen(c)) { java.util.Arrays.fill(next(c), 0L); seen(c) = true }
+        next(c)(r.getInt(1)) = r.getLong(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** `nprobe` nearest k-means cells (cent ids = 0..k-1) for a vector. */
+  def kmeansCells(vec: Column, cents: Array[Array[Long]], nprobe: Int): Column =
+    EU.column(NearestCells(EU.expression(vec.cast("array<double>")),
+      Array.tabulate(cents.length)(_.toLong), cents.map(_.map(_.toDouble)), nprobe))
+
+  /** Corpus with its final k-means cluster id — one fused argmax per row,
+    * no shuffle (the shape semantic dedup builds on: near-dup search
+    * within a cluster instead of across the corpus).
+    */
+  def kmeansAssign(df: DataFrame, cents: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cluster",
+      element_at(kmeansCells(col(vecCol), cents, 1), 1).cast("int"))
 }
 
 /** The `nprobe` nearest coarse cells for a vector, by cosine (ties → lower

@@ -171,6 +171,43 @@ class AnnSpec extends SparkTestBase {
       centIds.sorted.take(4).toSeq)
   }
 
+  test("kmeansCentroids equals a naive local spherical k-means (exact integer centroids)") {
+    val k = 4; val iters = 2
+    // local reference: same quantization, same argmax (sim desc, lower
+    // cent on ties), same exact integer sums, same empty-cluster carry
+    val ids = vecs.keys.toSeq.sorted
+    val quant = ids.map(id => id -> vecs(id).map(x => math.round(x * 1000000.0))).toMap
+    var cents = ids.take(k).map(quant).toArray
+    def assign(id: Long, cs: Array[Array[Long]]): Int = {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      for (c <- cs.indices) {
+        val sim = cos(vecs(id), cs(c).map(_.toDouble))
+        if (sim > bestSim) { bestSim = sim; best = c }
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(k)(c => cents(c).clone())
+      val seen = Array.fill(k)(false)
+      for (id <- ids) {
+        val c = assign(id, cents)
+        if (!seen(c)) { java.util.Arrays.fill(next(c), 0L); seen(c) = true }
+        for (d <- quant(id).indices) next(c)(d) += quant(id)(d)
+      }
+      cents = next
+    }
+    val got = Ann.kmeansCentroids(emb, k, iters, dim = 64)
+    assert(got.length == k)
+    for (c <- 0 until k)
+      assert(got(c).toSeq == cents(c).toSeq, s"centroid $c diverged")
+    // final assignment agrees too, and every cluster id is in range
+    val gotAssign = Ann.kmeansAssign(emb, got)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (id <- ids)
+      assert(gotAssign(id) == assign(id, cents), s"assignment for $id")
+  }
+
   test("CosineSim expression equals the local loop") {
     val got = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 3)
       .collect().map(r => (r.getLong(2), r.getDouble(3)))
