@@ -16,9 +16,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * state as entries (the reference registers prospector/publisher/
   * receiver status the same way).
   *
-  * Config reload and the debug entry are intentionally absent: a Spark
-  * job's config is immutable per submit, and the JVM has its own
-  * diagnostics — documented divergence, not missing surface.
+  * Config reload exists at the streaming surface: a config-driven stream
+  * re-resolves its stage list at every micro-batch boundary
+  * ([[graft.streaming.StreamingPipeline.runConfigured]] — the
+  * processor-pool drain-then-restart semantics, `pool.go:104-111`), so
+  * the admin reload command maps to writing the config file. A BATCH
+  * job's config stays immutable per submit (Spark's model), and the
+  * debug entry is absent (the JVM has its own diagnostics) — documented
+  * divergences, not missing surface.
   */
 final class AdminServer(name: String = "graft", version: String = "3") {
 

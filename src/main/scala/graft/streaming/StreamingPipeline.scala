@@ -47,6 +47,49 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Config-driven streaming run with LIVE config reload — the
+    * processor-pool reload semantics (`lc-lib/processor/pool.go:104-111`:
+    * on a config change the pool drains in-flight events under the old
+    * config, then restarts its routines with the new one; events never
+    * see a half-applied config). The Spark analog: the pipeline stage
+    * list is re-resolved from `configPath` at each micro-batch boundary
+    * (mtime-checked, so an unchanged file costs one stat) — the batch in
+    * flight finishes under the config it started with, the next batch
+    * picks up the edit. Triggering a reload = writing the config file
+    * (the admin-API reload command maps to exactly that touch).
+    */
+  def runConfigured(spark: SparkSession, inputDir: String, checkpointDir: String,
+      outDir: String, configPath: String, maxFilesPerTrigger: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val path = java.nio.file.Paths.get(configPath)
+    @volatile var cached: (Long, Seq[graft.pipeline.Stage]) = null
+    def stagesNow(): Seq[graft.pipeline.Stage] = {
+      val mtime = java.nio.file.Files.getLastModifiedTime(path).toMillis
+      val c = cached
+      if (c == null || c._1 != mtime) {
+        val parsed = graft.pipeline.PipelineConfig.fromJson(
+          java.nio.file.Files.readString(path))
+        cached = (mtime, parsed)
+        parsed
+      } else c._2
+    }
+    val turns = spark.readStream
+      .schema(Turn.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    turns.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val processed = graft.pipeline.Pipeline(batch, stagesNow())
+        Router.stripMeta(processed)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Streaming multiline-timeout analog (`previous timeout`,
     * `lc-lib/codecs/multiline/multiline.go:281-319`): assemble events per
     * conversation with an event-time session gap; the watermark flushes a

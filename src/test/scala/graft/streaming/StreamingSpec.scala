@@ -127,6 +127,54 @@ class StreamingSpec extends SparkTestBase {
     assert(sTexts == aTexts)
   }
 
+  test("live config reload at micro-batch boundaries (processor pool reload, pool.go:104-111)") {
+    val tmp = Files.createTempDirectory("graft-stream-reload").toString
+    val inputDir = s"$tmp/in"; Files.createDirectories(java.nio.file.Paths.get(inputDir))
+    val cfgPath = java.nio.file.Paths.get(s"$tmp/pipeline.json")
+    def writeCfg(tag: String): Unit = {
+      Files.writeString(cfgPath, s"""[{"add_tag": {"tag": "$tag"}}]""")
+      // mtime granularity on some filesystems is 1s — force a distinct stamp
+      Files.setLastModifiedTime(cfgPath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    writeCfg("cfg_v1")
+    val turns = TranscriptGen.generate(spark, seed = 71L, nConvs = 6L, parallelism = 1).toDF()
+    turns.limit(5).write.mode("append").parquet(inputDir)
+
+    val q = StreamingPipeline.runConfigured(spark, inputDir, s"$tmp/ckpt", s"$tmp/out",
+      cfgPath.toString, maxFilesPerTrigger = 64,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(300))
+    try {
+      def batches: Seq[String] = {
+        val d = new java.io.File(s"$tmp/out")
+        if (!d.isDirectory) Seq.empty
+        else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch=")
+            && new java.io.File(f, "_SUCCESS").exists()) // only sealed batches
+          .map(_.getName).toSeq.sorted
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      while (batches.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(batches.nonEmpty, "first batch should land under config v1")
+      val firstBatches = batches.toSet
+      // reload: edit the config, then feed more input — the NEXT batch
+      // must pick up v2 while already-written batches keep v1 output
+      writeCfg("cfg_v2")
+      Thread.sleep(400) // ensure the in-flight trigger (if any) has passed
+      turns.limit(5).write.mode("append").parquet(inputDir)
+      while (batches.toSet == firstBatches && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(batches.toSet != firstBatches, "a post-edit batch should land")
+    } finally q.stop()
+    val out = spark.read.option("basePath", s"$tmp/out").parquet(s"$tmp/out/batch=*")
+    val tags = out.select(explode(col("tags")).as("tag")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags.contains("cfg_v1") && tags.contains("cfg_v2"),
+      s"both config versions must have applied across batches, saw $tags")
+    // no row carries both tags — each batch ran under exactly one config
+    assert(out.filter(array_contains(col("tags"), "cfg_v1") &&
+      array_contains(col("tags"), "cfg_v2")).count() == 0)
+  }
+
   test("session_window assembly flushes on event-time gaps") {
     import spark.implicits._
     val rows = Seq(
