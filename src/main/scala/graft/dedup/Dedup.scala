@@ -233,9 +233,27 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("srcCluster")).as("nbr"))
       // one checkpointed frame per round serves both the convergence test
-      // and the next labels (no separate diff join)
-      val merged = labels.join(nbrMin, Seq("id"), "left").localCheckpoint()
-      changed = merged.filter(col("nbr") < col("cluster")).count()
+      // and the next labels; the convergence count rides the checkpoint's
+      // own materialization job as an observed metric instead of costing
+      // a second scan (fallback to a count if the observation didn't
+      // attach — e.g. a future Spark materializing checkpoints outside
+      // the listener path)
+      val obs = org.apache.spark.sql.Observation(s"lp_round_$rounds")
+      val merged = labels.join(nbrMin, Seq("id"), "left")
+        .observe(obs, sum(when(col("nbr") < col("cluster"), lit(1L)).otherwise(lit(0L)))
+          .as("changed"))
+        .localCheckpoint()
+      changed = {
+        var tries = 0
+        var m = EU.observedOrEmpty(obs)
+        while (m.isEmpty && tries < 50) {
+          Thread.sleep(10); m = EU.observedOrEmpty(obs); tries += 1
+        }
+        m.get("changed") match {
+          case Some(v: java.lang.Long) => v.longValue()
+          case _ => merged.filter(col("nbr") < col("cluster")).count()
+        }
+      }
       val propagated = merged.select(col("id"),
         least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
       // pointer jumping: follow cluster → label(cluster) once per round,

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an [[org.apache.spark.sql.Observation]]'s
+    * metrics (`getOrEmpty` is `private[sql]`; the public `get` blocks
+    * with no timeout, which a caller that needs a fallback can't risk).
+    */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

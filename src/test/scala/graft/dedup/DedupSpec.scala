@@ -138,6 +138,23 @@ class DedupSpec extends SparkTestBase {
     assert(capped == uncapped && capped.nonEmpty)
   }
 
+  test("posting saturation: a shingle 100x over the cap yields only the planted pair (no hot fan-out)") {
+    // 2000 docs all sharing one stop-shingle ("the quick brown") + unique
+    // tails; two docs identical. Uncapped, the hot shingle alone would
+    // expand to ~2M intra-posting pairs; with the cap its posting
+    // saturates at maxDf+1 entries (O(cap) memory on whichever executor
+    // owns the key) and is dropped, so the only intersections left are
+    // the planted pair's own shingles.
+    val docs2k = (1 to 2000).map(i =>
+        (i.toLong, s"the quick brown u${i}a u${i}b u${i}c")) :+
+      (9001L, "the quick brown same same2 same3") :+
+      (9002L, "the quick brown same same2 same3")
+    val df = spark.createDataFrame(docs2k).toDF("id", "text")
+    val got = Dedup.jaccardPairs(df, "id", "text", 0.3, n = 3, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((9001L, 9002L)))
+  }
+
   test("jaccardPairs df-cap drops hot shingles deterministically") {
     val df = Seq(
       (1L, "x y z common common2 common3"),
