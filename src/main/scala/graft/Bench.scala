@@ -42,6 +42,17 @@ object Bench {
       // local[8]); compression stays on — raw parquet would shift cost to
       // the page cache and misrepresent a real cluster's network/disk
       .config("spark.sql.parquet.compression.codec", "lz4")
+      // split sizing for THIS input scale (the "size maxPartitionBytes to
+      // the data" rule): the 8M-turn input is 32×8 MB files, and default
+      // packing (128 MB cap, total/parallelism target) folds them into 8
+      // uneven splits on 8 cores (one straggler-bound wave) and THREE on
+      // 2 cores (catastrophic balance). 16 MB = one split per file: 32
+      // balanced tasks, measured 26.2→22.9 s at local[8] and 53.2→45.0 s
+      // at local[2] (tools/SplitProbe). At 100 TB the default is correct
+      // (6.5M tasks at 16 MB would swamp the scheduler) — this pins
+      // split granularity to the measured scale, same as shuffle
+      // partitions above.
+      .config("spark.sql.files.maxPartitionBytes", 16L * 1024 * 1024)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
