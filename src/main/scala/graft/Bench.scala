@@ -61,7 +61,9 @@ object Bench {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p) // close: the stream holds a dir handle
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
 
   /** The timed end-to-end job: scan → parse → enrich → route → write.

@@ -132,16 +132,29 @@ object AdminServer {
       "batch_id" -> batchId,
       "buckets_committed" -> graft.lineage.Lineage.committed(outputRoot).size,
       "buckets_total" -> nBuckets))
+    // The counts scan committed buckets, so they're cached keyed by the
+    // committed-bucket SET: polls between commits are O(1) marker listings
+    // (no Spark job on the admin dispatcher thread), and a new sealed
+    // bucket invalidates the cache exactly once.
+    val sinksCache = new java.util.concurrent.atomic.AtomicReference[
+      (Set[Int], Map[String, Any])](null)
     srv.register("pipeline/sinks", () => {
-      if (graft.lineage.Lineage.committed(outputRoot).isEmpty)
-        Map.empty[String, Any]
-      else
-        graft.route.Router.sinkCounts(
-            graft.lineage.Lineage.readData(spark, outputRoot))
-          .collect() // bounded: one row per sink
-          .map(r => r.getString(0) -> Map(
-            "turns" -> r.getLong(1), "bytes" -> r.getLong(2)))
-          .toMap
+      val committed = graft.lineage.Lineage.committed(outputRoot)
+      if (committed.isEmpty) Map.empty[String, Any]
+      else {
+        val c = sinksCache.get()
+        if (c != null && c._1 == committed) c._2
+        else {
+          val fresh: Map[String, Any] = graft.route.Router.sinkCounts(
+              graft.lineage.Lineage.readData(spark, outputRoot))
+            .collect() // bounded: one row per sink
+            .map(r => r.getString(0) -> (Map(
+              "turns" -> r.getLong(1), "bytes" -> r.getLong(2)): Any))
+            .toMap
+          sinksCache.set((committed, fresh))
+          fresh
+        }
+      }
     })
     srv
   }

@@ -423,19 +423,22 @@ object Cel {
   }
 
   /** Accept only the format verbs where cel-go and java.util.Formatter
-    * agree (`%s %d %f %e %x %X %o`, optional `%.Nf`-style precision,
-    * `%%` escape), and check the arg count matches the verb count —
-    * anything else (notably `%b` binary, positional args) fails closed
-    * at compile time rather than diverging at run time.
+    * agree (`%s %d %f %e %x %X %o`; precision only where the Formatter
+    * allows it — `%.Nf`/`%.Ne`; `%%` escape), and check the arg count
+    * matches the verb count — anything else (notably `%b` binary,
+    * positional args, precision on d/x/o) fails closed at compile time
+    * rather than diverging at run time. Argument TYPE mismatches (e.g.
+    * `%x` fed a string column) still surface at execution — a Column's
+    * runtime type isn't always statically known here; documented residue.
     */
   private def validateFormat(fmt: String, nargs: Int): Unit = {
-    val verb = java.util.regex.Pattern.compile("%(?:%|(?:\\.\\d+)?([sdfeExXo]))")
+    val verb = java.util.regex.Pattern.compile("%(?:%|(?:\\.\\d+)?[fe]|[sdxXo])")
     val m = verb.matcher(fmt)
     var count = 0
-    while (m.find()) if (m.group(1) != null) count += 1
+    while (m.find()) if (!m.group().equals("%%")) count += 1
     // strip every recognized verb; any '%' left is an unsupported one
     require(verb.matcher(fmt).replaceAll("").indexOf('%') < 0,
-      s"unsupported CEL format verb in '$fmt' (supported: %s %d %f %e %x %X %o with optional precision)")
+      s"unsupported CEL format verb in '$fmt' (supported: %s %d %x %X %o, %f %e with optional precision)")
     require(count == nargs,
       s"CEL format '$fmt' has $count verbs but ${nargs} args")
   }

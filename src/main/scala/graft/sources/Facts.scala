@@ -45,7 +45,9 @@ object Facts {
     * sample time — `time.Now().Truncate(interval)` (`munin.go:79`).
     */
   def collectionBoundary(ts: Column, intervalSec: Int): Column =
-    ((unix_timestamp(ts) / intervalSec).cast("long") * intervalSec).cast("long")
+    // floor, not cast-truncation: a pre-1970 (negative-epoch) sample must
+    // land on the boundary BELOW it, matching integer `//` in the oracle
+    (floor(unix_timestamp(ts) / intervalSec).cast("long") * intervalSec).cast("long")
 
   /** Fact events from a samples table with one row per
     * (plugin, field, collection): columns `ts` (epoch-sec boundary long),

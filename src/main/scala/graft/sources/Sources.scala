@@ -42,7 +42,20 @@ object Sources {
   def spoolStdin(spark: SparkSession, in: InputStream, spoolDir: String,
       batchLines: Int = 1 << 16, parallelism: Int = 8): Int = {
     import spark.implicits._
-    val bin = new java.io.BufferedInputStream(in, 1 << 16)
+    // hand-rolled buffer (not BufferedInputStream): the spool loop is the
+    // single-threaded ingest hot path, and a synchronized virtual read()
+    // per byte would dominate it — this is a plain array index per byte
+    val buf = new Array[Byte](1 << 16)
+    var bufLen = 0
+    var bufPos = 0
+    def nextByte(): Int = {
+      if (bufPos == bufLen) {
+        if (bufLen < 0) return -1
+        bufLen = in.read(buf); bufPos = 0
+        if (bufLen < 0) return -1
+      }
+      val b = buf(bufPos); bufPos += 1; b & 0xff
+    }
     var off = 0L
     var chunks = 0
     var eof = false
@@ -50,11 +63,11 @@ object Sources {
       val batch = new scala.collection.mutable.ArrayBuffer[(String, Long)](
         math.min(batchLines, 1 << 16))
       while (!eof && batch.size < batchLines) {
-        var b = bin.read()
+        var b = nextByte()
         if (b == -1) eof = true
         else {
           val bout = new java.io.ByteArrayOutputStream(256)
-          while (b != -1 && b != '\n') { bout.write(b); b = bin.read() }
+          while (b != -1 && b != '\n') { bout.write(b); b = nextByte() }
           val raw = bout.toByteArray
           val terminated = b == '\n'
           if (!terminated) eof = true
@@ -93,8 +106,10 @@ object Sources {
       val p = java.nio.file.Paths.get(dir)
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+        val walk = Files.walk(p) // must be closed — it holds a dir handle
+        try walk.iterator().asScala.toSeq.reverse.foreach(f =>
           try Files.delete(f) catch { case _: java.io.IOException => () })
+        finally walk.close()
       }
       dir = pendingSpools.poll()
     }

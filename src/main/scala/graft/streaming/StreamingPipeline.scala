@@ -57,21 +57,34 @@ object StreamingPipeline {
     * flight finishes under the config it started with, the next batch
     * picks up the edit. Triggering a reload = writing the config file
     * (the admin-API reload command maps to exactly that touch).
+    *
+    * Robustness matching the reference: the config is re-read by CONTENT
+    * (hash, not mtime — a same-tick rewrite on a coarse-mtime filesystem
+    * still reloads), and a torn or invalid config read keeps the last
+    * good config running instead of killing the stream (the pool never
+    * dies on a bad reload; it logs and carries on). Only the very first
+    * batch, with no good config yet, propagates the parse error.
     */
   def runConfigured(spark: SparkSession, inputDir: String, checkpointDir: String,
       outDir: String, configPath: String, maxFilesPerTrigger: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val path = java.nio.file.Paths.get(configPath)
-    @volatile var cached: (Long, Seq[graft.pipeline.Stage]) = null
+    @volatile var cached: (Int, Seq[graft.pipeline.Stage]) = null
     def stagesNow(): Seq[graft.pipeline.Stage] = {
-      val mtime = java.nio.file.Files.getLastModifiedTime(path).toMillis
       val c = cached
-      if (c == null || c._1 != mtime) {
-        val parsed = graft.pipeline.PipelineConfig.fromJson(
-          java.nio.file.Files.readString(path))
-        cached = (mtime, parsed)
-        parsed
-      } else c._2
+      try {
+        val text = java.nio.file.Files.readString(path) // configs are small
+        val h = text.hashCode
+        if (c == null || c._1 != h) {
+          val parsed = graft.pipeline.PipelineConfig.fromJson(text)
+          cached = (h, parsed)
+          parsed
+        } else c._2
+      } catch {
+        case e: Exception if c != null =>
+          System.err.println(s"graft: config reload failed, keeping previous config: $e")
+          c._2
+      }
     }
     val turns = spark.readStream
       .schema(Turn.schema)

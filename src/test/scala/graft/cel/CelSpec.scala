@@ -186,10 +186,15 @@ class CelSpec extends SparkTestBase {
     assert(s("\"plain, no verbs\".format([])").as[String].collect()(0) == "plain, no verbs")
     // composes as a string for + and size()
     assert(s("size(\"%d\".format([7]))").as[Int].collect()(0) == 1)
-    // fail-closed cases: %b verb, dynamic format string, arity mismatch
+    // fail-closed cases: %b verb, dynamic format string, arity mismatch,
+    // precision on verbs where java.util.Formatter rejects it (%.1d/%.1x
+    // would otherwise compile and throw IllegalFormatPrecisionException
+    // per row at execution)
     intercept[IllegalArgumentException](Cel.compile("\"%b\".format([3])", resolve))
     intercept[IllegalArgumentException](Cel.compile("event.message.format([1])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%s %s\".format([1])", resolve))
+    intercept[IllegalArgumentException](Cel.compile("\"%.1d\".format([3])", resolve))
+    intercept[IllegalArgumentException](Cel.compile("\"%.2x\".format([3])", resolve))
   }
 
   test("ext.Strings quote(): Go strconv.Quote escaping") {

@@ -73,5 +73,11 @@ class FactsSpec extends SparkTestBase {
     val base = java.time.LocalDateTime.parse("2024-01-01T00:00:00")
       .toEpochSecond(java.time.ZoneOffset.UTC)
     assert(got == Seq(base, base + 300, base + 300))
+    // pre-1970: negative epochs must floor to the boundary BELOW (integer
+    // `//` semantics) — cast-truncation toward zero would say 0 here
+    val neg = Seq("1969-12-31 23:59:00").toDF("s")
+      .select(Facts.collectionBoundary(to_timestamp(col("s")), 300))
+      .collect()(0).getLong(0)
+    assert(neg == -300L, s"epoch -60 must truncate to -300, got $neg")
   }
 }
