@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *     (0-based CEL indices; `format` requires a literal format string
   *     and supports the `%s %d %f %e %x %X %o` verbs with optional
   *     precision — `%b` and dynamic format strings fail closed;
-  *     bounded-count 3-arg `replace` works for literal operands with a
-  *     non-empty search — the only remaining ext.Strings residue is its
-  *     dynamic-operand / empty-search corner, which fails closed);
+  *     bounded-count 3-arg `replace` is complete — fully dynamic
+  *     operands and Go's empty-search insert-between-runes case, via
+  *     the fused [[graft.functions.GoStrReplace]] expression);
   *   - `json.encode/decode` and `base64.encode/decode` (the custom json
   *     lib + `ext.Encoders()`, `cel.go:40-44`).
   *
@@ -151,7 +151,7 @@ object Cel {
         case Some(Tok("op", "!")) => next(); Unary("!", parseUnary())
         case Some(Tok("op", "-")) => next(); parseUnary() match {
           // fold negative numeric literals so `-1` IS a literal (the
-          // literal-only surfaces — 3-arg replace count — see it as one)
+          // literal-only surfaces — split/join separators — see it as one)
           case Lit(l: Long) => Lit(-l)
           case Lit(d: Double) => Lit(-d)
           case e => Unary("-", e)
@@ -359,18 +359,17 @@ object Cel {
         // would misread `$`/`\` in the replacement)
         replace(go(t), go(o).cast("string"), go(n).cast("string"))
       // bounded-count replace (Go strings.Replace): first `cnt`
-      // occurrences only. Column-expressible for literal operands:
-      // split on the quoted search with limit cnt+1 (Java split keeps
-      // trailing empties at a positive limit), then join with the
-      // replacement. cnt < 0 = replace-all (Go semantics); dynamic
-      // operands or an empty search string (Go's insert-between-runes
-      // case) fail closed.
-      case Method(t, "replace", List(Lit(o: String), Lit(nw: String), Lit(cnt: Long)))
-          if o.nonEmpty =>
-        if (cnt < 0) replace(go(t), lit(o), lit(nw))
-        else if (cnt == 0) go(t)
-        else array_join(
-          split(go(t), java.util.regex.Pattern.quote(o), cnt.toInt + 1), nw)
+      // occurrences only, via the fused [[graft.functions.GoStrReplace]]
+      // expression — fully dynamic operands, and the empty-search
+      // insert-between-runes case, with exact Go semantics (cnt < 0 =
+      // replace-all, cnt = 0 = unchanged).
+      case Method(t, "replace", List(o, nw, cnt)) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.GoStrReplace(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(t).cast("string")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(o).cast("string")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(nw).cast("string")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(cnt).cast("long"))))
       case Method(t, "split", List(Lit(sep: String))) =>
         // cel split is a LITERAL separator; Spark's is a regex — quote it.
         // Trailing empties kept both sides (Go strings.Split semantics).

@@ -218,8 +218,13 @@ object Dedup {
     * Returns (id, cluster) where cluster = min id reachable.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // both edge directions from ONE pass over the pair plan (the pair list
+    // is itself an expensive join/agg — a union of two selects would
+    // evaluate that plan twice)
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))

@@ -165,15 +165,23 @@ class CelSpec extends SparkTestBase {
     // negative count = replace all; count beyond occurrences = all
     assert(s("\"aXbXc\".replace(\"X\", \"-\", -1)").as[String].collect()(0) == "a-b-c")
     assert(s("\"aXbXc\".replace(\"X\", \"-\", 9)").as[String].collect()(0) == "a-b-c")
-    // trailing occurrence at the end of the string survives the split-join
+    // trailing occurrence at the end of the string survives
     assert(s("\"aXbX\".replace(\"X\", \"-\", 2)").as[String].collect()(0) == "a-b-")
     // regex metacharacters are literal
     assert(s("\"a.b.c\".replace(\".\", \"-\", 1)").as[String].collect()(0) == "a-b.c")
-    // dynamic operands / empty search fail closed (documented residue)
-    intercept[IllegalArgumentException](
-      Cel.compile("event.message.replace(event.message, \"x\", 1)", resolve))
-    intercept[IllegalArgumentException](
-      Cel.compile("\"abc\".replace(\"\", \"-\", 1)", resolve))
+    // non-overlapping left-to-right scan (Go: Replace("aaaa","aa","b",-1)="bb")
+    assert(s("\"aaaa\".replace(\"aa\", \"b\", -1)").as[String].collect()(0) == "bb")
+    // fully dynamic operands (column search / replacement / count)
+    assert(s("event.message.replace(event.message, \"gone\", 1)")
+      .as[String].collect()(0) == "gone")
+    assert(s("\"x y\".replace(\" \", \"_\", int(event.k) - 106)") // -99 < 0 = all
+      .as[String].collect()(0) == "x_y")
+    // empty search = Go's insert-between-runes: before the first rune,
+    // then after each, bounded by count; rune (not byte) boundaries
+    assert(s("\"abc\".replace(\"\", \"-\", -1)").as[String].collect()(0) == "-a-b-c-")
+    assert(s("\"abc\".replace(\"\", \"-\", 2)").as[String].collect()(0) == "-a-bc")
+    assert(s("\"日本\".replace(\"\", \".\", -1)").as[String].collect()(0) == ".日.本.")
+    assert(s("\"\".replace(\"\", \"x\", -1)").as[String].collect()(0) == "x")
   }
 
   test("ext.Strings format(): literal format string, cel-go verb subset") {
