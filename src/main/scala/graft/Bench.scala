@@ -59,12 +59,7 @@ object Bench {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(p) // close: the stream holds a dir handle
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
+    graft.util.Fs.deleteRecursively(p)
 
   /** The timed end-to-end job: scan → parse → enrich → route → write.
     * Rows-written counted via task output metrics (no extra job).

@@ -145,8 +145,11 @@ object AdminServer {
         val c = sinksCache.get()
         if (c != null && c._1 == committed) c._2
         else {
+          // scan exactly the listed set: a bucket committing between a
+          // second listing and this scan would make counts inconsistent
+          // with the cache key (and with /pipeline/lineage at that instant)
           val fresh: Map[String, Any] = graft.route.Router.sinkCounts(
-              graft.lineage.Lineage.readData(spark, outputRoot))
+              graft.lineage.Lineage.readData(spark, outputRoot, committed))
             .collect() // bounded: one row per sink
             .map(r => r.getString(0) -> (Map(
               "turns" -> r.getLong(1), "bytes" -> r.getLong(2)): Any))

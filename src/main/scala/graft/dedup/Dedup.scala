@@ -135,7 +135,7 @@ object Dedup {
     *
     * Pair fan-out is bounded: a posting of p ≤ maxDf ids expands to
     * p·(p-1)/2 pairs, so the expansion never exceeds maxDf²/2 rows per
-    * shingle regardless of corpus size. Uncapped (`maxDf = Long.MaxValue`)
+    * shingle regardless of corpus size. Uncapped (`maxDf ≥ Int.MaxValue`)
     * falls back to the plain self-join, whose hot keys shuffle (postings
     * must stay distributed when no cap bounds them).
     */
@@ -143,13 +143,15 @@ object Dedup {
       threshold: Double, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
     val inter =
-      if (maxDf == Long.MaxValue) {
+      // maxDf ≥ Int.MaxValue is semantically uncapped (a posting that
+      // large can't expand in-group anyway) — plain self-join, not an
+      // error, so the Long-typed API accepts any cap
+      if (maxDf >= Int.MaxValue) {
         sh.as("a").join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("c"))
       } else {
-        require(maxDf <= Int.MaxValue, s"finite maxDf must fit an Int, got $maxDf")
         val postings = sh.groupBy("s")
           .agg(graft.functions.BoundedCollectList(col("id"), maxDf.toInt).as("ids"))
           .filter(col("ids").isNotNull) // NULL = saturated = stop-shingle

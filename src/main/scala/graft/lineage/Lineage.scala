@@ -70,10 +70,7 @@ object Lineage {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    graft.util.Fs.deleteRecursively(p)
 
   /** Process `df` into `root` exactly once, resumable.
     *
@@ -121,6 +118,14 @@ object Lineage {
 
   /** Read back all committed data. */
   def readData(spark: SparkSession, root: String): DataFrame =
+    readData(spark, root, committed(root))
+
+  /** Read exactly the given committed-bucket set — for callers that have
+    * already listed the markers (e.g. as a cache key) and need the data
+    * scanned to be CONSISTENT with that listing rather than with a
+    * second, later one.
+    */
+  def readData(spark: SparkSession, root: String, buckets: Set[Int]): DataFrame =
     spark.read.parquet(
-      committed(root).toSeq.sorted.map(b => dataDir(root, b).toString): _*)
+      buckets.toSeq.sorted.map(b => dataDir(root, b).toString): _*)
 }

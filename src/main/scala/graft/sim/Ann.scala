@@ -193,14 +193,15 @@ object Ann {
     val b = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       lshBuckets(col(vecCol).cast("array<double>"), dim, bits).as("bucket"))
     val paired =
-      if (maxBucketOccupancy == Long.MaxValue) {
+      // a cap above Int.MaxValue is semantically uncapped (a 2^31-row
+      // bucket has no workable within-bucket join anyway) — plain join,
+      // not an error, so the Long-typed API accepts any cap
+      if (maxBucketOccupancy >= Int.MaxValue) {
         b.as("a").join(b.as("b"),
             col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
           .select(col("a.id").as("ida"), col("a.v").as("va"),
             col("b.id").as("idb"), col("b.v").as("vb"))
       } else {
-        require(maxBucketOccupancy <= Int.MaxValue,
-          s"finite maxBucketOccupancy must fit an Int, got $maxBucketOccupancy")
         val postings = b.groupBy("bucket")
           .agg(graft.functions.BoundedCollectList(
             struct(col("id"), col("v")), maxBucketOccupancy.toInt).as("ps"))
@@ -302,6 +303,12 @@ object Ann {
     */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
+    // each iteration re-scans the pruned source instead of persisting the
+    // projection: column pruning means the scan reads exactly the id+vec
+    // columns a cache would hold, so caching only trades parquet decode
+    // for executor memory — measured SLOWER here (cache build ≈ one extra
+    // pass; columnar-cache array scan ≈ parquet decode). A caller looping
+    // far more iterations over a hot corpus can persist `df` itself.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val quant = transform(col("v"), x => round(x * lit(1000000.0)).cast("long"))
     var cents: Array[Array[Long]] = v.orderBy("id").limit(k)

@@ -49,8 +49,8 @@ object Sources {
     var bufLen = 0
     var bufPos = 0
     def nextByte(): Int = {
+      if (bufLen < 0) return -1 // EOF is sticky (bufPos reset below)
       if (bufPos == bufLen) {
-        if (bufLen < 0) return -1
         bufLen = in.read(buf); bufPos = 0
         if (bufLen < 0) return -1
       }
@@ -103,14 +103,8 @@ object Sources {
   def cleanupSpools(): Unit = {
     var dir = pendingSpools.poll()
     while (dir != null) {
-      val p = java.nio.file.Paths.get(dir)
-      if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(p) // must be closed — it holds a dir handle
-        try walk.iterator().asScala.toSeq.reverse.foreach(f =>
-          try Files.delete(f) catch { case _: java.io.IOException => () })
-        finally walk.close()
-      }
+      // tolerant: a spool raced by an external sweep is already gone
+      graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir), tolerant = true)
       dir = pendingSpools.poll()
     }
   }

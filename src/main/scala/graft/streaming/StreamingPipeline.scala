@@ -52,15 +52,16 @@ object StreamingPipeline {
     * on a config change the pool drains in-flight events under the old
     * config, then restarts its routines with the new one; events never
     * see a half-applied config). The Spark analog: the pipeline stage
-    * list is re-resolved from `configPath` at each micro-batch boundary
-    * (mtime-checked, so an unchanged file costs one stat) — the batch in
-    * flight finishes under the config it started with, the next batch
-    * picks up the edit. Triggering a reload = writing the config file
-    * (the admin-API reload command maps to exactly that touch).
+    * list is re-resolved from `configPath` at each micro-batch boundary —
+    * the batch in flight finishes under the config it started with, the
+    * next batch picks up the edit. Triggering a reload = writing the
+    * config file (the admin-API reload command maps to exactly that).
     *
     * Robustness matching the reference: the config is re-read by CONTENT
-    * (hash, not mtime — a same-tick rewrite on a coarse-mtime filesystem
-    * still reloads), and a torn or invalid config read keeps the last
+    * (full-text comparison each batch — configs are small, and neither
+    * mtime nor a hash can miss or falsely match a change that way; a
+    * config file big enough for the per-batch read to matter indicates a
+    * different problem), and a torn or invalid config read keeps the last
     * good config running instead of killing the stream (the pool never
     * dies on a bad reload; it logs and carries on). Only the very first
     * batch, with no good config yet, propagates the parse error.
@@ -69,15 +70,14 @@ object StreamingPipeline {
       outDir: String, configPath: String, maxFilesPerTrigger: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val path = java.nio.file.Paths.get(configPath)
-    @volatile var cached: (Int, Seq[graft.pipeline.Stage]) = null
+    @volatile var cached: (String, Seq[graft.pipeline.Stage]) = null
     def stagesNow(): Seq[graft.pipeline.Stage] = {
       val c = cached
       try {
         val text = java.nio.file.Files.readString(path) // configs are small
-        val h = text.hashCode
-        if (c == null || c._1 != h) {
+        if (c == null || c._1 != text) { // full-text compare: no hash-collision hole
           val parsed = graft.pipeline.PipelineConfig.fromJson(text)
-          cached = (h, parsed)
+          cached = (text, parsed)
           parsed
         } else c._2
       } catch {

@@ -5,10 +5,8 @@ import graft.route.Router
 import graft.TranscriptPipeline
 import java.nio.file.{Files, Paths}
 object ScaleProbe3 {
-  def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  def deleteRec(p: java.nio.file.Path): Unit =
+    graft.util.Fs.deleteRecursively(p)
   def main(args: Array[String]): Unit = {
     val in = "/tmp/graft_bench_input_150000"
     for (cores <- Seq(8, 2, 8, 2)) {
