@@ -77,6 +77,36 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes", "frame_prefix")
   }
 
+  /** Resize: re-sample the payload to a target "resolution" — every
+    * payload maps to exactly `targetW × targetH` output bytes by
+    * nearest-neighbor index sampling (==== STUB ==== standing in for a
+    * real pixel resampler; byte `k` of the output is byte
+    * `k · n / (W·H)` of the input, the 1-D nearest-neighbor rule).
+    * Partition-batched like [[decodeFeatures]] so a real resampler can
+    * amortise per-batch init; output schema carries the new dimensions
+    * the way a real thumbnail stage would.
+    */
+  def resize(rows: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val outLen = targetW * targetH
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      // per-partition resampler init would go here (==== STUB ====)
+      it.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte](outLen)
+        if (n > 0) {
+          var k = 0
+          while (k < outLen) {
+            out(k) = r.payload((k.toLong * n / outLen).toInt)
+            k += 1
+          }
+        }
+        (r.media_id, r.modality, targetW, targetH, out)
+      }
+    }.toDF("media_id", "modality", "width", "height", "payload")
+  }
+
   /** Build a synthetic media table from the documents table (payload =
     * UTF-8 bytes of the text) — deterministic, no external data.
     */

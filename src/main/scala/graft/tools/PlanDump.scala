@@ -25,6 +25,12 @@ object PlanDump {
     dump("q_ann_ivf", graft.queries.QueriesML.qAnnIvf(s, dir))
     dump("q_embed_neardup", graft.queries.QueriesML.qEmbedNearDup(s, dir))
     dump("q_filter_codec", graft.queries.Queries.qFilterCodec(s, dir))
+    // round-4 surfaces: facts must be scan → partial agg → lag window →
+    // partial agg (one exchange per key change, nothing corpus-wide);
+    // kmeans assignment must be the fused argmax with ZERO Exchange
+    // (the per-iteration centroid job has the same shape + one k×dim agg)
+    dump("q_facts", graft.queries.QueriesR4.qFacts(s, dir))
+    dump("q_kmeans", graft.queries.QueriesR4.qKmeans(s, dir))
     s.stop()
   }
 }

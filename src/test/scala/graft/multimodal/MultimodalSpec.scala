@@ -22,6 +22,24 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("resize: every payload maps to exactly W*H bytes, nearest-neighbor") {
+    val rows = Multimodal.fromDocuments(spark, dir)
+    val resized = Multimodal.resize(rows, targetW = 8, targetH = 4).collect()
+    val src = rows.collect().map(r => r.media_id -> r.payload).toMap
+    assert(resized.length == src.size)
+    resized.foreach { row =>
+      val id = row.getLong(0)
+      val out = row.getAs[Array[Byte]]("payload")
+      assert(row.getInt(2) == 8 && row.getInt(3) == 4)
+      assert(out.length == 32)
+      val in = src(id)
+      // 1-D nearest-neighbor: out(k) == in(k*n/32)
+      (0 until 32).foreach { k =>
+        assert(out(k) == in((k.toLong * in.length / 32).toInt), s"media $id byte $k")
+      }
+    }
+  }
+
   test("frame sampling: stride selects every nth kilobyte slice") {
     val rows = Multimodal.fromDocuments(spark, dir)
     val frames = Multimodal.sampleFrames(rows, stride = 2).collect()
