@@ -227,6 +227,13 @@ object Dedup {
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // pre-partition + pre-sort on the join key BEFORE the checkpoint:
+      // localCheckpoint preserves outputPartitioning/ordering through
+      // LogicalRDD, so every round's edges⋈labels join reuses this side
+      // as-is and only the (much smaller) labels side exchanges — the
+      // edge list is the big invariant operand of the whole loop
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
