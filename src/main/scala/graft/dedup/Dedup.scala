@@ -141,7 +141,14 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    // each doc's FULL shingle-set size (the |A| of the jaccard
+    // denominator — computed before any stop-shingle drop) rides along
+    // with the id through the posting pipeline, so the intersection
+    // counts come out already carrying |A| and |B|: one corpus scan
+    // total, and no post-hoc size joins (the previous shape re-scanned
+    // the corpus for sizes and joined it twice)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .select(col("id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
     val inter =
       // maxDf ≥ Int.MaxValue is semantically uncapped (a posting that
       // large can't expand in-group anyway) — plain self-join, not an
@@ -150,22 +157,22 @@ object Dedup {
         sh.as("a").join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c"),
+            max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       } else {
         val postings = sh.groupBy("s")
-          .agg(graft.functions.BoundedCollectList(col("id"), maxDf.toInt).as("ids"))
+          .agg(graft.functions.BoundedCollectList(
+            struct(col("id"), col("n")), maxDf.toInt).as("ids"))
           .filter(col("ids").isNotNull) // NULL = saturated = stop-shingle
         postings
-          .select(explode(col("ids")).as("id_a"), col("ids"))
-          .select(col("id_a"), explode(col("ids")).as("id_b"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("c"))
+          .select(explode(col("ids")).as("a"), col("ids"))
+          .select(col("a"), explode(col("ids")).as("b"))
+          .filter(col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("c"),
+            max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       }
-    val sizes = df.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("n"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
