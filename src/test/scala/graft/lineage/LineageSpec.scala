@@ -47,6 +47,32 @@ class LineageSpec extends SparkTestBase {
     assert(lineageRows == turns.count())
   }
 
+  test("commits are physical-parallelism-invariant; resume works across widths") {
+    // the N vs 4N cluster case: the same logical input arriving with
+    // different physical partitioning must seal identical buckets with
+    // identical per-bucket lineage counts (bucket = pmod(hash(conv_id)),
+    // a pure function of the data), and a job that crashed on one width
+    // must resume correctly on another
+    val rootA = freshRoot()
+    val rootB = freshRoot()
+    Lineage.run(turns.repartition(2), rootA, nBuckets = 8, batchId = "w2")
+    Lineage.run(turns.repartition(32), rootB, nBuckets = 8, batchId = "w32")
+    assert(Lineage.committed(rootA) == Lineage.committed(rootB))
+    val perBucket = (root: String) => Lineage.readEntries(spark, root)
+      .select("partitionId", "rows").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perBucket(rootA) == perBucket(rootB))
+    val a = Lineage.readData(spark, rootA).select("conv_id", "turn_idx", "text")
+    val b = Lineage.readData(spark, rootB).select("conv_id", "turn_idx", "text")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // crash at width 2, resume at width 32
+    val rootC = freshRoot()
+    Lineage.run(turns.repartition(2), rootC, nBuckets = 8, batchId = "w2", maxBucketsToCommit = 3)
+    Lineage.run(turns.repartition(32), rootC, nBuckets = 8, batchId = "w32")
+    val c = Lineage.readData(spark, rootC).select("conv_id", "turn_idx", "text")
+    assert(c.exceptAll(a).isEmpty && a.exceptAll(c).isEmpty)
+  }
+
   test("rerun of a fully committed root is a no-op") {
     val root = freshRoot()
     Lineage.run(turns, root, nBuckets = 4, batchId = "b1")
