@@ -92,11 +92,25 @@ object Lineage {
     // one partitioned pass writes every uncommitted bucket
     todo.write.mode("overwrite").partitionBy(BucketCol).parquet(staging.toString)
 
-    // per-bucket stats for the lineage entries
-    val stats = todo.groupBy(col(BucketCol))
-      .agg(count(lit(1)).as("rows"), sum(octet_length(col("text"))).as("bytes"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-bucket stats for the lineage entries — computed from the
+    // STAGED output, not from `todo`: the input plan may be a whole
+    // upstream pipeline, and aggregating it again would evaluate that
+    // pipeline a second time (at 100 TB, a second full pass). The staged
+    // parquet is the same rows already materialised; this scan prunes to
+    // the bucket partition column + text.
+    val hasStagedBuckets = Files.isDirectory(staging) && {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(staging)
+      try ls.iterator().asScala.exists(_.getFileName.toString.startsWith(s"$BucketCol="))
+      finally ls.close()
+    }
+    val stats =
+      if (hasStagedBuckets)
+        spark.read.parquet(staging.toString).groupBy(col(BucketCol))
+          .agg(count(lit(1)).as("rows"), sum(octet_length(col("text"))).as("bytes"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      else Map.empty[Int, (Long, Long)] // empty write = nothing left to commit
 
     var committedNow = 0
     val buckets = stats.keys.toSeq.sorted
