@@ -36,14 +36,17 @@ object Lineage {
   def committed(root: String): Set[Int] = {
     val d = lineageDir(root)
     if (!Files.isDirectory(d)) return Set.empty
-    val it = Files.list(d).iterator()
-    val out = scala.collection.mutable.Set.empty[Int]
-    while (it.hasNext) {
-      val name = it.next().getFileName.toString
-      if (name.startsWith("p") && name.endsWith(".json"))
-        out += name.stripPrefix("p").stripSuffix(".json").toInt
-    }
-    out.toSet
+    val ls = Files.list(d) // close: the stream holds a dir handle, and
+    try {                  // this runs per admin poll on long-lived drivers
+      val it = ls.iterator()
+      val out = scala.collection.mutable.Set.empty[Int]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("p") && name.endsWith(".json"))
+          out += name.stripPrefix("p").stripSuffix(".json").toInt
+      }
+      out.toSet
+    } finally ls.close()
   }
 
   def readEntries(spark: SparkSession, root: String): DataFrame = {
@@ -107,7 +110,10 @@ object Lineage {
     val stats =
       if (hasStagedBuckets)
         spark.read.parquet(staging.toString).groupBy(col(BucketCol))
-          .agg(count(lit(1)).as("rows"), sum(octet_length(col("text"))).as("bytes"))
+          // coalesce: a bucket whose rows all have NULL text sums to NULL
+          // and must commit with bytes=0, not crash the getLong
+          .agg(count(lit(1)).as("rows"),
+            coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"))
           .collect()
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       else Map.empty[Int, (Long, Long)] // empty write = nothing left to commit

@@ -88,6 +88,8 @@ object Multimodal {
     */
   def resize(rows: Dataset[MediaRow], targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    require(targetW.toLong * targetH <= Int.MaxValue,
+      s"target ${targetW}x$targetH overflows a byte array length")
     val outLen = targetW * targetH
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>

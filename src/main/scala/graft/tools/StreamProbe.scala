@@ -78,7 +78,12 @@ object StreamProbe {
           "/tmp/graft_stream_probe_ckpt", "/tmp/graft_stream_probe_out",
           maxFilesPerTrigger = filesPerTrigger)
         q.awaitTermination()
-        ((System.nanoTime() - t0) / 1e9, batchSecs.toSeq)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // progress events arrive on the async listener bus — drain it so
+        // the final batch's duration is in, and read under the same lock
+        // the listener appends under
+        org.apache.spark.graftbridge.CoreBridge.waitListenerBusEmpty(spark.sparkContext)
+        (wall, batchSecs.synchronized { batchSecs.toSeq })
       } finally spark.stop()
     }
 
