@@ -136,6 +136,12 @@ class DedupSpec extends SparkTestBase {
     val uncapped = Dedup.jaccardPairs(df, "id", "text", 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped == uncapped && capped.nonEmpty)
+    // caps at/above Int.MaxValue are semantically uncapped and must take
+    // the self-join branch (same pairs, no require-crash) — the old
+    // contract, preserved for Long-typed callers
+    val huge = Dedup.jaccardPairs(df, "id", "text", 0.3, maxDf = Int.MaxValue.toLong + 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(huge == uncapped)
   }
 
   test("posting saturation: a shingle 100x over the cap yields only the planted pair (no hot fan-out)") {
