@@ -89,6 +89,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    // Global wall-clock budget (round-4 lesson: the driver's harness killed
+    // a ~33-min steal-stretched run at its own cap → rc=124, NO artifact).
+    // The bench now (a) self-limits to this budget, short-circuiting
+    // remaining reps/retry-pairs/queries and emitting whatever samples
+    // exist flagged "budget_truncated", and (b) writes the artifact file
+    // PROGRESSIVELY after each section, so even an external kill leaves a
+    // parseable BENCH_LAST.json of the completed sections.
+    val wallStart = System.nanoTime()
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "1200").toDouble
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    def overBudget: Boolean = elapsedSec > deadlineSec
+    var truncated = false
     // ~13.2 turns/conv → sf0.1 ≈ 8M turns: big enough that the ~2s fixed
     // job cost (submit, listing, commit) amortises — at toy sizes it
     // dominates the N->4N ratio, at the real 10^12-turn target it is
@@ -143,10 +155,22 @@ object Bench {
     // (SMT sharing + hypervisor steal), so local[8]→local[32] cannot
     // evidence software scaling on this box for ANY job. local[32] still
     // provides the headline absolute throughput.
-    val (n32, sec32) = measure(cpus, 3)
+    //
+    // Section order is essential-first (budget resilience): the 8/2
+    // scaling pairs carry BOTH the headline (thr8) and the scaling
+    // efficiency, so they run before the local[32] absolute leg and the
+    // per-query table — a budget cut loses auxiliary data, never the
+    // metric of record.
+    // ---- measurement state (declared before any def that reads it, so
+    // the progressive emitter can serialise whatever exists so far) ----
     var n8 = 0L; var n2 = 0L
     val samples8 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val samples2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var n32 = 0L; var sec32 = Double.NaN // NaN = local[32] leg not (yet) run
+    var extraPairs = 0
+    val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var queriesSkipped = 0
+
     def runPair(): Unit = {
       val (a, s8) = measure(8, 1); n8 = a; samples8 += s8
       val (b, s2) = measure(2, 1); n2 = b; samples2 += s2
@@ -155,13 +179,63 @@ object Bench {
       val s = xs.sorted; val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    for (_ <- 1 to 3) runPair()
     // Efficiency of record = MEDIAN-based (round-4 change, per advisor):
     // the median is robust to hypervisor-steal outliers WITHOUT a
     // retry-until-accepted selection rule, so it is the honest headline;
     // the min-based value (steal only adds time, so min approximates the
-    // true software cost) is reported alongside as auxiliary. The bounded
-    // re-run loop below keys on the median too — it only fires when the
+    // true software cost) is reported alongside as auxiliary.
+    def effMedianNow: Double =
+      ((n8 / median(samples8.toSeq)) / (n2 / median(samples2.toSeq))) / 4.0
+
+    // headline = the local[8] leg, FIXED (never a max across legs — round
+    // 1's max() spelling read as cherry-picking). local[8] is the chosen
+    // stable measurement leg: BENCH.md's microbenchmarks show the 32-vCPU
+    // leg is hypervisor-steal-exposed (identical runs vary >2×, and can
+    // measure *slower* than 8 cores in a stolen window), while 1→8
+    // threads scale linearly. All legs are disclosed alongside.
+    // Query-time sentinels: -1.0 = query threw; -2.0 = budget-skipped.
+    def buildJson(partial: Boolean): String = {
+      val sec8 = samples8.min
+      val sec2 = samples2.min
+      val thr8 = n8 / sec8
+      val thr2 = n2 / sec2
+      val thr32 = if (sec32.isNaN) -1.0 else n32 / sec32
+      val effMin = (thr8 / thr2) / 4.0
+      val eff = effMedianNow
+      val rowsConsistent = n8 == n2 && (sec32.isNaN || n32 == n8)
+      val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      val totalQuerySec = queryTimes.values.filter(_ >= 0).sum
+      f"""{"metric":"turns_parsed_routed_per_sec","value":$thr8%.1f,"unit":"turns/sec",""" +
+      f""""turns":$n8,""" +
+      f""""throughput_local32":$thr32%.1f,"throughput_local8":$thr8%.1f,"throughput_local2":$thr2%.1f,""" +
+      f""""pipeline_sec_local32":${if (sec32.isNaN) -1.0 else sec32}%.3f,"pipeline_sec_local8":$sec8%.3f,"pipeline_sec_local2":$sec2%.3f,""" +
+      f""""scaling_pair":"local[2] -> local[8] (N to 4N within the VM's linear CPU region; see BENCH.md)",""" +
+      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_min":$effMin%.3f,""" +
+      f""""scaling_samples_local8":[${samples8.map(s => f"$s%.3f").mkString(",")}],""" +
+      f""""scaling_samples_local2":[${samples2.map(s => f"$s%.3f").mkString(",")}],""" +
+      f""""scaling_extra_pairs":$extraPairs,""" +
+      f""""rows_consistent":$rowsConsistent,""" +
+      f""""budget_sec":$deadlineSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
+      f""""budget_truncated":$truncated,"partial":$partial,""" +
+      f""""queries_total_sec":$totalQuerySec%.3f,"queries_skipped":$queriesSkipped,""" +
+      f""""queries":$qs,"sf":"$sfDir"}"""
+    }
+    def emitProgressive(): Unit =
+      try Files.writeString(Paths.get("BENCH_LAST.json"), buildJson(partial = true) + "\n")
+      catch { case _: Throwable => () }
+
+    // ---- measurement sequence, essential-first ----
+    // Worst-case stub: if the harness kills us inside pair 1, the file
+    // still parses (value:-1 marks "no sample completed").
+    try Files.writeString(Paths.get("BENCH_LAST.json"),
+      f"""{"metric":"turns_parsed_routed_per_sec","value":-1.0,"unit":"turns/sec","partial":true,"stage":"bootstrap_done","elapsed_sec":$elapsedSec%.1f,"sf":"$sfDir"}""" + "\n")
+    catch { case _: Throwable => () }
+    runPair() // pair 1 always runs: it alone yields a complete headline+eff
+    emitProgressive()
+    for (_ <- 2 to 3) {
+      if (!overBudget) { runPair(); emitProgressive() } else truncated = true
+    }
+    // Bounded re-run loop keys on the median — it only fires when the
     // median itself sits outside BENCH.md's measured software band
     // [0.8, 1.15] (five independent runs put eff(2→8) at 0.82-1.0), i.e.
     // when MOST samples of a leg were steal-corrupted; extra pairs then
@@ -170,51 +244,49 @@ object Bench {
     // (only meaningful at ≥2M-turn legs: below that the ~2 s fixed job
     // cost legitimately caps the ratio — BENCH.md's t(c)=f+W/c fit — and
     // no number of re-runs can move it, so don't burn time retrying)
-    def effMedianNow: Double =
-      ((n8 / median(samples8.toSeq)) / (n2 / median(samples2.toSeq))) / 4.0
-    var extraPairs = 0
-    while (n8 >= 2000000L && (effMedianNow < 0.8 || effMedianNow > 1.15) && extraPairs < 5) {
-      runPair(); extraPairs += 1
+    while (n8 >= 2000000L && (effMedianNow < 0.8 || effMedianNow > 1.15)
+        && extraPairs < 5 && !overBudget) {
+      runPair(); extraPairs += 1; emitProgressive()
     }
-    require(n32 == n8 && n8 == n2, s"row count mismatch: $n32/$n8/$n2")
-    val sec8 = samples8.min
-    val sec2 = samples2.min
-    val thr32 = n32 / sec32
-    val thr8 = n8 / sec8
-    val thr2 = n2 / sec2
-    val effMin = (thr8 / thr2) / 4.0
-    val eff = effMedianNow
-    // headline = the local[8] leg, FIXED (never a max across legs — round
-    // 1's max() spelling read as cherry-picking). local[8] is the chosen
-    // stable measurement leg: BENCH.md's microbenchmarks show the 32-vCPU
-    // leg is hypervisor-steal-exposed (identical runs vary >2×, and can
-    // measure *slower* than 8 cores in a stolen window), while 1→8
-    // threads scale linearly. All legs are disclosed alongside.
-    val headline = thr8
+    if (n8 >= 2000000L && (effMedianNow < 0.8 || effMedianNow > 1.15) && overBudget)
+      truncated = true
+
+    // local[32] absolute-throughput leg (auxiliary — after the scaling
+    // pairs so a budget cut drops it, not the metric of record)
+    if (!overBudget) {
+      val r = measure(cpus, if (elapsedSec > deadlineSec * 0.6) 1 else 3)
+      n32 = r._1; sec32 = r._2
+      emitProgressive()
+    } else truncated = true
+    if (!(n8 == n2 && (sec32.isNaN || n32 == n8)))
+      // soft-flag, never throw: a mismatch after 20 minutes of measurement
+      // must not destroy the artifact (rows_consistent:false in the JSON)
+      System.err.println(s"[bench] row count mismatch: $n32/$n8/$n2")
 
     // ---- per-query timings on the shared tables ----
-    val spark = session(cpus)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+    if (elapsedSec > deadlineSec * 1.2) {
+      // fully past the grace window: don't even pay the session spin-up
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        queryTimes(name) = -2.0; queriesSkipped += 1
+      }
+      truncated = true
+    } else locally {
+      val spark = session(cpus)
+      try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        // grace window: the query table is cheap (~32 s clean) and more
+        // valuable complete, so it keeps running up to budget+20%
+        if (elapsedSec > deadlineSec * 1.2) {
+          queryTimes(name) = -2.0; queriesSkipped += 1; truncated = true
+        } else {
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val sec = (System.nanoTime() - t0) / 1e9
+          queryTimes(name) = if (ok) sec else -1.0
+        }
+      } finally spark.stop()
     }
-    spark.stop()
 
-    val qs = queries.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val totalQuerySec = queries.map(_._2).filter(_ >= 0).sum
-    val json =
-      f"""{"metric":"turns_parsed_routed_per_sec","value":$headline%.1f,"unit":"turns/sec",""" +
-      f""""turns":$n32,""" +
-      f""""throughput_local32":$thr32%.1f,"throughput_local8":$thr8%.1f,"throughput_local2":$thr2%.1f,""" +
-      f""""pipeline_sec_local32":$sec32%.3f,"pipeline_sec_local8":$sec8%.3f,"pipeline_sec_local2":$sec2%.3f,""" +
-      f""""scaling_pair":"local[2] -> local[8] (N to 4N within the VM's linear CPU region; see BENCH.md)",""" +
-      f""""scaling_efficiency":$eff%.3f,"scaling_efficiency_min":$effMin%.3f,""" +
-      f""""scaling_samples_local8":[${samples8.map(s => f"$s%.3f").mkString(",")}],""" +
-      f""""scaling_samples_local2":[${samples2.map(s => f"$s%.3f").mkString(",")}],""" +
-      f""""scaling_extra_pairs":$extraPairs,""" +
-      f""""queries_total_sec":$totalQuerySec%.3f,"queries":$qs,"sf":"$sfDir"}"""
+    val json = buildJson(partial = false)
     // stdout is the contract (unprefixed — build.sbt sets StdoutOutput so
     // sbt does not wrap it in `[info]`); the file copy is the fallback for
     // any harness that post-filters stdout.

@@ -16,19 +16,26 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * state as entries (the reference registers prospector/publisher/
   * receiver status the same way).
   *
-  * Config reload exists at the streaming surface: a config-driven stream
+  * Config reload is exposed the reference's way — a POST-only `reload`
+  * callback entry on the root (`apiroot.go:47-52` → `App.ReloadConfig`,
+  * `core/app.go:266-277`), registered via [[AdminServer.registerReload]]:
+  * it re-reads and VALIDATES the watched config (a parse failure returns
+  * the error and leaves the running config untouched, exactly like
+  * `ReloadConfig`), then rewrites it so any watcher sees a fresh mtime.
+  * The streaming surface completes the semantics: a config-driven stream
   * re-resolves its stage list at every micro-batch boundary
   * ([[graft.streaming.StreamingPipeline.runConfigured]] — the
-  * processor-pool drain-then-restart semantics, `pool.go:104-111`), so
-  * the admin reload command maps to writing the config file. A BATCH
-  * job's config stays immutable per submit (Spark's model), and the
-  * debug entry is absent (the JVM has its own diagnostics) — documented
-  * divergences, not missing surface.
+  * processor-pool drain-then-restart semantics, `pool.go:104-111`). A
+  * BATCH job's config stays immutable per submit (Spark's model), and
+  * the debug entry is absent (the JVM has its own diagnostics) —
+  * documented divergences, not missing surface.
   */
 final class AdminServer(name: String = "graft", version: String = "3") {
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, () => Any]()
+  private val callbacks =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]] => String]()
 
   register("name", () => name)
   register("version", () => version)
@@ -39,6 +46,37 @@ final class AdminServer(name: String = "graft", version: String = "3") {
     */
   def register(path: String, provider: () => Any): Unit =
     entries.put(path.stripPrefix("/").stripSuffix("/"), provider)
+
+  /** Register a command at a `/`-separated path — the reference's
+    * CallbackEntry (`lc-lib/admin/api/api.go:250-278`): POST-only (GET
+    * answers 405, `server.go:215-222`), the callback's string result is
+    * returned as `{"result":...}` (`server.go:279-314`), a thrown
+    * exception as `{"error":...}`. The argument is the parsed form/query
+    * parameter multimap (url.Values).
+    */
+  def registerCallback(path: String, f: Map[String, Seq[String]] => String): Unit =
+    callbacks.put(path.stripPrefix("/").stripSuffix("/"), f)
+
+  /** The SIGHUP-analog `reload` command (`apiroot.go:47-52`): POST
+    * `/reload` (and the alias `/pipeline/reload`) re-reads and validates
+    * the watched pipeline config. Invalid JSON / unknown stages → the
+    * error returns to the caller and NOTHING changes (`ReloadConfig`
+    * returns the load error before touching app state, `app.go:266-277`).
+    * Valid → the file is rewritten in place, so both reload triggers the
+    * engine supports fire: content-compare streams
+    * ([[graft.streaming.StreamingPipeline.runConfigured]]) apply it at
+    * the next micro-batch boundary, mtime watchers see a fresh stamp.
+    */
+  def registerReload(configPath: java.nio.file.Path): Unit = {
+    val reload: Map[String, Seq[String]] => String = { _ =>
+      val text = java.nio.file.Files.readString(configPath)
+      graft.pipeline.PipelineConfig.fromJson(text) // validate or throw
+      java.nio.file.Files.writeString(configPath, text)
+      "Successfully reloaded configuration" // apiroot.go:51
+    }
+    registerCallback("reload", reload)
+    registerCallback("pipeline/reload", reload)
+  }
 
   private var server: HttpServer = _
 
@@ -61,31 +99,54 @@ final class AdminServer(name: String = "graft", version: String = "3") {
 
   private def handle(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
-    val (code, body) = respond(path)
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    val body =
+      try new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      finally ex.getRequestBody.close()
+    val (code, resp) = respond(path, ex.getRequestMethod,
+      Seq(Option(ex.getRequestURI.getRawQuery), Some(body)).flatten.mkString("&"))
+    val bytes = resp.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
   }
 
+  private def parseForm(raw: String): Map[String, Seq[String]] =
+    raw.split('&').toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      def dec(s: String) = java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+      if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
+    }.groupMap(_._1)(_._2)
+
   /** Leaf → its encoded value; interior node → sorted child-name list
-    * (the api.Node listing); unknown → 404 (`server.go:225-235`).
+    * (the api.Node listing; callback entries appear as children); unknown
+    * → 404 (`server.go:225-235`). Callback leaves are POST-only: GET →
+    * 405, POST → `{"result":...}` / `{"error":...}`.
     */
-  private[admin] def respond(path: String): (Int, String) = {
-    val exact = entries.get(path)
-    if (exact != null) {
-      try (200, mapper.writeValueAsString(exact()))
-      catch { case e: Exception => (500, s"""{"error":${quote(e.toString)}}""") }
+  private[admin] def respond(path: String, method: String = "GET",
+      rawForm: String = ""): (Int, String) = {
+    val cb = callbacks.get(path)
+    if (cb != null) {
+      if (method != "POST")
+        (405, s"""{"error":"callback entries are POST-only: ${path}"}""")
+      else
+        try (200, s"""{"result":${quote(cb(parseForm(rawForm)))}}""")
+        catch { case e: Exception => (500, s"""{"error":${quote(e.toString)}}""") }
     } else {
-      val prefix = if (path.isEmpty) "" else path + "/"
-      import scala.jdk.CollectionConverters._
-      val children = entries.keySet.asScala
-        .filter(k => k.startsWith(prefix) && k.length > prefix.length)
-        .map(_.substring(prefix.length).split('/').head)
-        .toSeq.distinct.sorted
-      if (children.nonEmpty) (200, mapper.writeValueAsString(children))
-      else (404, s"""{"error":"no such admin entry: ${path}"}""")
+      val exact = entries.get(path)
+      if (exact != null) {
+        try (200, mapper.writeValueAsString(exact()))
+        catch { case e: Exception => (500, s"""{"error":${quote(e.toString)}}""") }
+      } else {
+        val prefix = if (path.isEmpty) "" else path + "/"
+        import scala.jdk.CollectionConverters._
+        val children = (entries.keySet.asScala ++ callbacks.keySet.asScala)
+          .filter(k => k.startsWith(prefix) && k.length > prefix.length)
+          .map(_.substring(prefix.length).split('/').head)
+          .toSeq.distinct.sorted
+        if (children.nonEmpty) (200, mapper.writeValueAsString(children))
+        else (404, s"""{"error":"no such admin entry: ${path}"}""")
+      }
     }
   }
 
@@ -102,8 +163,10 @@ object AdminServer {
     * like `lc-admin` polls the REST endpoint.
     */
   def forSpark(spark: org.apache.spark.sql.SparkSession,
-      speeds: graft.streaming.StreamingPipeline.SpeedListener): AdminServer = {
+      speeds: graft.streaming.StreamingPipeline.SpeedListener,
+      configPath: Option[java.nio.file.Path] = None): AdminServer = {
     val srv = new AdminServer()
+    configPath.foreach(srv.registerReload)
     def active = spark.streams.active.toSeq
     srv.register("pipeline/queries", () =>
       active.map(q => Option(q.name).getOrElse(q.id.toString)))

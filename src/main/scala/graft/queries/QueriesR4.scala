@@ -35,11 +35,17 @@ object QueriesR4 {
       .orderBy("cluster")
   }
   val qKmeansSql: String = {
+    // Cosine spelled explicitly as dot/(sqrt(na)*sqrt(nb)) from
+    // list_inner_product — the SAME formula NearestCells computes — rather
+    // than trusting list_cosine_similarity's internal accumulation to
+    // agree (it happens to on these datasets, but it is not contractual).
+    def cos(a: String, b: String): String =
+      s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
     def iter(prev: String, a: String, s: String, next: String): String =
       s"""$a AS (SELECT vec_id, q, cent FROM (
          |   SELECT e.vec_id, e.q, c.cent,
          |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |       list_cosine_similarity(e.v, list_transform(c.cs, x -> x::DOUBLE)) DESC,
+         |       ${cos("e.v", "list_transform(c.cs, x -> x::DOUBLE)")} DESC,
          |       c.cent) AS rk
          |   FROM e CROSS JOIN $prev c) WHERE rk = 1),
          |$s AS (SELECT cent, list(s ORDER BY pos) AS cs FROM (
@@ -59,11 +65,11 @@ object QueriesR4 {
        |af AS (SELECT vec_id, cent FROM (
        |   SELECT e.vec_id, c.cent,
        |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |       list_cosine_similarity(e.v, list_transform(c.cs, x -> x::DOUBLE)) DESC,
+       |       ${cos("e.v", "list_transform(c.cs, x -> x::DOUBLE)")} DESC,
        |       c.cent) AS rk
        |   FROM e CROSS JOIN c2 c) WHERE rk = 1)
        |SELECT af.cent AS cluster, count(*) AS n, min(af.vec_id) AS min_id,
-       |  any_value(c2.cs[1]) AS c0
+       |  CAST(any_value(c2.cs[1]) AS BIGINT) AS c0
        |FROM af JOIN c2 ON af.cent = c2.cent
        |GROUP BY af.cent ORDER BY cluster""".stripMargin
   }

@@ -94,6 +94,83 @@ class AdminServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  private def post(addr: java.net.InetSocketAddress, path: String,
+      form: String = ""): (Int, String) = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"http://127.0.0.1:${addr.getPort}$path"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(form)).build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("reload command: POST-only callback validates + applies config (apiroot.go:47-52, server.go:215-222)") {
+    val spark = graft.SparkTestBase.spark
+    import org.apache.spark.sql.functions.{col, explode}
+    val tmp = java.nio.file.Files.createTempDirectory("admin_reload").toString
+    val inputDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inputDir))
+    val cfgPath = java.nio.file.Paths.get(s"$tmp/pipeline.json")
+    java.nio.file.Files.writeString(cfgPath, """[{"add_tag": {"tag": "cfg_v1"}}]""")
+    val turns = graft.model.TranscriptGen
+      .generate(spark, seed = 72L, nConvs = 6L, parallelism = 1).toDF()
+    turns.limit(5).write.mode("append").parquet(inputDir)
+
+    val speeds = graft.streaming.StreamingPipeline.attachSpeedListener(spark)
+    val srv = AdminServer.forSpark(spark, speeds, configPath = Some(cfgPath))
+    val addr = srv.start()
+    val q = graft.streaming.StreamingPipeline.runConfigured(
+      spark, inputDir, s"$tmp/ckpt", s"$tmp/out", cfgPath.toString,
+      maxFilesPerTrigger = 64,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(300))
+    try {
+      def sealedBatches: Set[String] = {
+        val d = new java.io.File(s"$tmp/out")
+        if (!d.isDirectory) Set.empty
+        else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch=")
+            && new java.io.File(f, "_SUCCESS").exists()).map(_.getName).toSet
+      }
+      val deadline = System.currentTimeMillis() + 60000
+      while (sealedBatches.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(sealedBatches.nonEmpty, "first batch should land under config v1")
+
+      // reload is visible in the tree and POST-only: GET → 405
+      assert(get(addr, "/reload")._1 == 405)
+      assert(get(addr, "/pipeline/reload")._1 == 405)
+      assert(get(addr, "/")._2.contains("\"reload\""))
+
+      // edit config + POST reload → validated, ack'd, next batch applies it
+      val before = sealedBatches
+      java.nio.file.Files.writeString(cfgPath, """[{"add_tag": {"tag": "cfg_v2"}}]""")
+      val (rc, rb) = post(addr, "/pipeline/reload")
+      assert(rc == 200 && rb == """{"result":"Successfully reloaded configuration"}""")
+      Thread.sleep(400) // let any in-flight trigger pass
+      turns.limit(5).write.mode("append").parquet(inputDir)
+      while (sealedBatches == before && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(sealedBatches != before, "a post-reload batch should land")
+
+      // invalid config → reload returns the load error, nothing changes
+      // (ReloadConfig surfaces the error before touching state, app.go:266-277)
+      java.nio.file.Files.writeString(cfgPath, """[{"bogus_stage": {}}]""")
+      val (ec, eb) = post(addr, "/reload")
+      assert(ec == 500 && eb.contains("error"))
+      // the stream survives the bad file (its own guard keeps last-good)
+      val mid = sealedBatches
+      turns.limit(5).write.mode("append").parquet(inputDir)
+      while (sealedBatches == mid && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(sealedBatches != mid, "stream must keep running after a failed reload")
+    } finally { q.stop(); srv.stop() }
+    val out = spark.read.option("basePath", s"$tmp/out").parquet(s"$tmp/out/batch=*")
+    val tags = out.select(explode(col("tags")).as("tag")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags.contains("cfg_v1") && tags.contains("cfg_v2"),
+      s"both config versions must have applied across batches, saw $tags")
+  }
+
   test("respond() unit surface: empty tree path vs leaf precedence") {
     val srv = new AdminServer()
     srv.register("a/b/c", () => 1)
