@@ -41,6 +41,7 @@ object SparkEntry {
       "q_text_quality" -> (graft.queries.QueriesML.qTextQuality _),
       "q_fingerprint" -> (graft.queries.QueriesML.qFingerprint _),
       "q_multimodal" -> (graft.queries.QueriesML.qMultimodal _),
+      "q_multimodal_resize" -> (graft.queries.QueriesR5.qMultimodalResize _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -91,6 +92,7 @@ object SparkEntry {
       "q_text_quality" -> graft.queries.QueriesML.qTextQualitySql,
       "q_fingerprint" -> graft.queries.QueriesML.qFingerprintSql,
       "q_multimodal" -> graft.queries.QueriesML.qMultimodalSql,
+      "q_multimodal_resize" -> graft.queries.QueriesR5.qMultimodalResizeSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

@@ -364,6 +364,17 @@ object Cel {
       // insert-between-runes case, with exact Go semantics (cnt < 0 =
       // replace-all, cnt = 0 = unchanged).
       case Method(t, "replace", List(o, nw, cnt)) =>
+        // cel-go type-checks the count as int — reject a non-integer
+        // LITERAL at compile (a double would silently truncate, a string
+        // would cast to NULL). A dynamic count keeps the documented
+        // fail-closed runtime contract: cast("long") makes a non-numeric
+        // value NULL, which nullIntolerant propagates to a NULL result.
+        cnt match {
+          case Lit(_: Long) | Lit(_: Int) => ()
+          case Lit(v) => throw new IllegalArgumentException(
+            s"CEL replace() count must be an int literal or expression, got: $v")
+          case _ => ()
+        }
         org.apache.spark.sql.graftbridge.ColumnBridge.column(
           graft.functions.GoStrReplace(
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(t).cast("string")),
@@ -396,9 +407,23 @@ object Cel {
       case Method(Lit(fmt: String), "format", List(ListLit(args))) =>
         validateFormat(fmt, args.length)
         format_string(fmt, args.map(go): _*)
+      // Dynamic (non-literal) format string — cel-go's Strings() accepts
+      // any expression here (`lc-lib/processor/cel.go:41` loads the full
+      // ext.Strings), so a computed format compiles too: the verb set is
+      // statically unknown, so it skips compile-time validation and
+      // formats per row via java.util.Formatter (Catalyst FormatString) —
+      // identical to cel-go on the validated subset (%s %d %x %X %o %f
+      // %e), divergent-or-throwing outside it (documented residue; the
+      // literal-format path above stays fail-closed). The arg list must
+      // still be a list literal: it fixes the expression's arity.
+      case Method(t, "format", List(ListLit(args))) =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.FormatString(
+            (go(t).cast("string") +: args.map(go))
+              .map(org.apache.spark.sql.graftbridge.ColumnBridge.expression): _*))
       case Method(_, "format", _) =>
         throw new IllegalArgumentException(
-          "CEL format() needs a literal format string and a list literal of args")
+          "CEL format() needs a list literal of args (the format string may be any string expression)")
       // cel-go ext.Strings quote(): Go strconv.Quote escaping + wrapping
       // double quotes, as a chain of literal replaces (backslash first)
       case Method(t, "quote", List()) =>

@@ -154,6 +154,11 @@ object Dedup {
       // large can't expand in-group anyway) — plain self-join, not an
       // error, so the Long-typed API accepts any cap
       if (maxDf >= Int.MaxValue) {
+        // visible plan change (ADVICE r4): a caller passing Int.MaxValue
+        // as a "finite" cap gets the uncapped self-join, not bounded
+        // postings — log it so the reroute is never silent
+        System.err.println(
+          s"graft: jaccardPairs maxDf=$maxDf >= Int.MaxValue — uncapped self-join plan (no bounded postings)")
         sh.as("a").join(sh.as("b"),
             col("a.s") === col("b.s") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -67,9 +67,13 @@ case class GoStrReplace(str: Expression, search: Expression,
       // insert `new` at the start and after every rune, up to budget times
       if (replaced < budget) { out.write(n); replaced += 1 }
       while (i < s.length) {
-        // copy one complete rune: the lead byte plus its continuations
-        out.write(s(i)); i += 1
-        while (i < s.length && (s(i) & 0xc0) == 0x80) { out.write(s(i)); i += 1 }
+        // copy one rune, sized exactly like Go utf8.DecodeRune: an invalid
+        // sequence (stray continuation, bad lead, truncated or
+        // out-of-accept-range continuation — overlongs, surrogates, >U+10FFFF)
+        // is a 1-byte RuneError, NOT a maximal continuation run
+        val len = runeLen(s, i)
+        out.write(s, i, len)
+        i += len
         if (replaced < budget) { out.write(n); replaced += 1 }
       }
     } else {
@@ -85,6 +89,30 @@ case class GoStrReplace(str: Expression, search: Expression,
       }
     }
     UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** Byte length of the rune at `i` under Go `utf8.DecodeRune` rules
+    * (`unicode/utf8`: leads C2-F4 with per-lead first-continuation accept
+    * ranges rejecting overlongs / surrogates / >U+10FFFF; anything
+    * invalid decodes as a 1-byte RuneError).
+    */
+  private def runeLen(s: Array[Byte], i: Int): Int = {
+    val b0 = s(i) & 0xff
+    if (b0 < 0x80) return 1
+    if (b0 < 0xc2 || b0 > 0xf4) return 1 // stray continuation / C0-C1 / F5+
+    val n = if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+    if (i + n > s.length) return 1 // truncated sequence
+    val b1 = s(i + 1) & 0xff
+    val lo = b0 match { case 0xe0 => 0xa0; case 0xf0 => 0x90; case _ => 0x80 }
+    val hi = b0 match { case 0xed => 0x9f; case 0xf4 => 0x8f; case _ => 0xbf }
+    if (b1 < lo || b1 > hi) return 1
+    var j = 2
+    while (j < n) {
+      val bj = s(i + j) & 0xff
+      if (bj < 0x80 || bj > 0xbf) return 1
+      j += 1
+    }
+    n
   }
 
   private def regionMatches(s: Array[Byte], at: Int, o: Array[Byte]): Boolean = {

@@ -109,7 +109,11 @@ object Lineage {
     }
     val stats =
       if (hasStagedBuckets)
-        spark.read.parquet(staging.toString).groupBy(col(BucketCol))
+        // cast pins the partition-column key type: with
+        // spark.sql.sources.partitionColumnTypeInference.enabled=false the
+        // column reads back as StringType and a bare getInt would throw
+        spark.read.parquet(staging.toString)
+          .groupBy(col(BucketCol).cast("int").as(BucketCol))
           // coalesce: a bucket whose rows all have NULL text sums to NULL
           // and must commit with bytes=0, not crash the getLong
           .agg(count(lit(1)).as("rows"),

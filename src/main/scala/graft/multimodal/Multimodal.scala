@@ -62,14 +62,16 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every `stride`-th kilobyte slice of the payload
-    * stands in for a frame (==== STUB ==== for real frame extraction);
-    * output explodes to one row per sampled frame.
+  /** Frame sampling: every `stride`-th `frameBytes`-sized slice of the
+    * payload stands in for a frame (==== STUB ==== for real frame
+    * extraction); output explodes to one row per sampled frame.
     */
-  def sampleFrames(rows: Dataset[MediaRow], stride: Int): DataFrame = {
+  def sampleFrames(rows: Dataset[MediaRow], stride: Int,
+      frameBytes: Int = 1000): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "stride and frameBytes must be positive")
     import rows.sparkSession.implicits._
     rows.flatMap { r =>
-      val frames = r.payload.grouped(1000).zipWithIndex
+      val frames = r.payload.grouped(frameBytes).zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
       frames.map { case (bytes, i) =>
         (r.media_id, i, bytes.length, bytes.take(8).map("%02x".format(_)).mkString)

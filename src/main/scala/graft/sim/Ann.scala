@@ -252,8 +252,29 @@ object Ann {
       .select(col(idCol).cast("long").as("cent_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .collect() // bounded: exactly nlist rows — the quantizer, not the data
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    ivfTopKWith(corpus, queries, k,
+      centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray),
+      nprobe, idCol, vecCol)
+  }
+
+  /** [[ivfTopK]] probing a TRAINED coarse quantizer — the
+    * [[kmeansCentroids]] output (cent ids 0..k-1; the e6-quantized
+    * integer sums are valid centroids as-is, cosine being
+    * scale-invariant). This is the stated purpose of the k-means
+    * primitive: train once, then assign/probe against the trained cells
+    * instead of the untrained first-`nlist` baseline.
+    */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: Array[Array[Long]], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      Array.tabulate(cents.length)(_.toLong), cents.map(_.map(_.toDouble)),
+      nprobe, idCol, vecCol)
+
+  /** IVF probing over an explicit quantizer (cent id/vector arrays). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centIds: Array[Long], centVecs: Array[Array[Double]], nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     def cells(vec: Column, probes: Int): Column =
       EU.column(NearestCells(EU.expression(vec), centIds, centVecs, probes))
     val corpusCells = corpus
@@ -290,9 +311,17 @@ object Ann {
     *  - cosine is scale-invariant, so the un-normalized sum IS the
     *    spherical-k-means mean direction — no division, no float
     *    centroid anywhere;
-    *  - init = the first `k` corpus vectors by id (quantized); a fixed
-    *    iteration count (no convergence test) keeps the whole procedure
-    *    a pure function of the input;
+    *  - init: `"first"` (default) = the first `k` corpus vectors by id
+    *    (quantized) — cheapest, fine on unordered corpora, and the shape
+    *    the SQL oracle unrolls; `"farthest"` = deterministic maximin
+    *    (farthest-point) seeding — seed 1 is the min-id vector, each next
+    *    seed the vector with the LOWEST max-cosine to the seeds so far
+    *    (ties → lower id). k−1 extra bounded-result passes, and the init
+    *    Lloyd's needs on SOURCE-ORDERED corpora: first-k seeds then all
+    *    land in one source's cluster, a local optimum no iteration count
+    *    escapes, while maximin provably covers well-separated clusters.
+    *    A fixed iteration count (no convergence test) keeps the whole
+    *    procedure a pure function of the input either way;
     *  - assignment per iteration is the fused [[NearestCells]] argmax —
     *    zero shuffle; the only exchange per iteration is the k×dim-group
     *    sum, collected to the driver (bounded: k·dim rows — the
@@ -302,7 +331,8 @@ object Ann {
     * Returns the final centroid sums, row-per-cluster (index 0..k-1).
     */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Long]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      init: String = "first"): Array[Array[Long]] = {
     // each iteration re-scans the pruned source instead of persisting the
     // projection: column pruning means the scan reads exactly the id+vec
     // columns a cache would hold, so caching only trades parquet decode
@@ -311,9 +341,31 @@ object Ann {
     // far more iterations over a hot corpus can persist `df` itself.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val quant = transform(col("v"), x => round(x * lit(1000000.0)).cast("long"))
-    var cents: Array[Array[Long]] = v.orderBy("id").limit(k)
-      .select(quant.as("q")).collect()
-      .map(_.getSeq[Long](0).toArray)
+    var cents: Array[Array[Long]] = init match {
+      case "first" =>
+        v.orderBy("id").limit(k)
+          .select(quant.as("q")).collect()
+          .map(_.getSeq[Long](0).toArray)
+      case "farthest" =>
+        // maximin: each pass is one corpus scan reducing to ONE row (the
+        // argmin of max-cosine-to-seeds, ties → lower id) — k−1 bounded
+        // jobs, no shuffle beyond the single-row sort-limit
+        val seeds = scala.collection.mutable.ArrayBuffer(
+          v.orderBy("id").limit(1).select(quant.as("q"), col("v")).collect()
+            .map(r => (r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray))
+            .headOption.getOrElse(throw new IllegalArgumentException("empty corpus")))
+        while (seeds.length < k) {
+          val maxSim = seeds.map { case (_, sv) =>
+            CosineSim(col("v"), typedLit(sv.toSeq).cast("array<double>"))
+          }.reduce((a, b) => greatest(a, b))
+          val next = v.select(col("id"), quant.as("q"), col("v"))
+            .orderBy(maxSim.asc, col("id").asc).limit(1).collect().head
+          seeds += ((next.getSeq[Long](1).toArray, next.getSeq[Double](2).toArray))
+        }
+        seeds.map(_._1).toArray
+      case other =>
+        throw new IllegalArgumentException(s"unknown k-means init: $other (first|farthest)")
+    }
     require(cents.length == k, s"corpus has fewer than k=$k vectors")
     for (_ <- 1 to iters) {
       val sums = v

@@ -22,6 +22,56 @@ import graft.TranscriptPipeline
   */
 object StreamingPipeline {
 
+  /** Minimum micro-batch payload per core before per-trigger fixed cost
+    * (planning, codegen, broadcast rebuilds, offset/commit-log writes —
+    * all core-count-independent) dominates the batch duration. Measured,
+    * not asserted: BENCH.md's streaming series over the same 7.9M-turn
+    * input shows eff(2→8) climbing 0.50 → 0.68 → 0.81 as the trigger
+    * grows from ~2M turns to one full-input batch, with wall ≈ Σ batch
+    * durations and the gap to the batch path entirely the per-batch
+    * fixed cost (t(c) = f + W/c with f ≈ 1-2 s per trigger).
+    */
+  val MinTriggerBytesPerCore: Long = 16L * 1024 * 1024
+
+  /** Trigger-sizing check (the BENCH.md lesson as code): estimates the
+    * per-micro-batch payload from the input listing (mean file size ×
+    * `maxFilesPerTrigger`) and returns a warning when it is under
+    * [[MinTriggerBytesPerCore]] × cores — i.e. when micro-batches will be
+    * fixed-cost-dominated and scaling efficiency collapses. Returns None
+    * when sized adequately or when the input can't be listed yet (an
+    * empty source directory says nothing about eventual file sizes).
+    * Called at stream start by [[run]]/[[runConfigured]]; the warning
+    * logs, never throws — undersized triggers are legitimate for
+    * latency-bound streams, the cost just has to be a visible choice.
+    */
+  def triggerSizingWarning(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int,
+      minBytesPerCore: Long = MinTriggerBytesPerCore): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(inputDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return None
+    val meanBytes = files.map(_.getLen).sum / files.length
+    val cores = spark.sparkContext.defaultParallelism
+    val perBatch = meanBytes * math.min(maxFilesPerTrigger, files.length)
+    val needed = minBytesPerCore * cores
+    if (perBatch < needed)
+      Some(s"graft: maxFilesPerTrigger=$maxFilesPerTrigger yields ~${perBatch >> 20} MB " +
+        s"per micro-batch on $cores cores (< ${needed >> 20} MB at ${minBytesPerCore >> 20} MB/core): " +
+        "per-trigger fixed cost will dominate and scaling efficiency will degrade " +
+        "(BENCH.md streaming series: eff 0.50 at toy triggers vs 0.81 full-batch); " +
+        "raise maxFilesPerTrigger unless latency-bound")
+    else None
+  }
+
+  private def warnTriggerSizing(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int): Unit =
+    try triggerSizingWarning(spark, inputDir, maxFilesPerTrigger)
+      .foreach(System.err.println)
+    catch { case _: Exception => () } // advisory only — never block a stream
+
   /** Run the full parse→enrich→route pipeline as a stream over a growing
     * parquet directory; each micro-batch lands routed output under
     * `outDir/batch=<id>` (idempotent per batch id — reprocessing a batch
@@ -29,6 +79,7 @@ object StreamingPipeline {
     */
   def run(spark: SparkSession, inputDir: String, checkpointDir: String,
       outDir: String, maxFilesPerTrigger: Int = 8): StreamingQuery = {
+    warnTriggerSizing(spark, inputDir, maxFilesPerTrigger)
     val turns = spark.readStream
       .schema(Turn.schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -69,6 +120,7 @@ object StreamingPipeline {
   def runConfigured(spark: SparkSession, inputDir: String, checkpointDir: String,
       outDir: String, configPath: String, maxFilesPerTrigger: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    warnTriggerSizing(spark, inputDir, maxFilesPerTrigger)
     val path = java.nio.file.Paths.get(configPath)
     @volatile var cached: (String, Seq[graft.pipeline.Stage]) = null
     def stagesNow(): Seq[graft.pipeline.Stage] = {

@@ -46,6 +46,13 @@ object StreamProbe {
     val filesPerTrigger = if (args.length > 2) args(2).toInt else 8
     require(Files.exists(Paths.get(s"$inputDir/_SUCCESS")),
       s"no bench input at $inputDir — run graft.Bench first or pass a dir")
+    // scratch dirs derived from the input path (ADVICE r4): two
+    // concurrent probes on one host no longer delete each other's
+    // checkpoints mid-flight — same-input probes still share (and that
+    // pair IS a misuse, loudly visible in the run log)
+    val scratch = s"/tmp/graft_stream_probe_${Paths.get(inputDir).getFileName}"
+    val ckptDir = s"$scratch/ckpt"
+    val probeOut = s"$scratch/out"
 
     val turns = {
       val s = session(8)
@@ -71,11 +78,11 @@ object StreamProbe {
       }
       spark.streams.addListener(listener)
       try {
-        deleteRecursively(Paths.get("/tmp/graft_stream_probe_ckpt"))
-        deleteRecursively(Paths.get("/tmp/graft_stream_probe_out"))
+        deleteRecursively(Paths.get(ckptDir))
+        deleteRecursively(Paths.get(probeOut))
         val t0 = System.nanoTime()
         val q = StreamingPipeline.run(spark, inputDir,
-          "/tmp/graft_stream_probe_ckpt", "/tmp/graft_stream_probe_out",
+          ckptDir, probeOut,
           maxFilesPerTrigger = filesPerTrigger)
         q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9

@@ -182,6 +182,12 @@ class CelSpec extends SparkTestBase {
     assert(s("\"abc\".replace(\"\", \"-\", 2)").as[String].collect()(0) == "-a-bc")
     assert(s("\"日本\".replace(\"\", \".\", -1)").as[String].collect()(0) == ".日.本.")
     assert(s("\"\".replace(\"\", \"x\", -1)").as[String].collect()(0) == "x")
+    // cel-go type-checks count as int: a non-integer LITERAL fails at
+    // compile (1.9 would silently truncate via cast, "x" would go NULL)
+    intercept[IllegalArgumentException](
+      Cel.compile("\"abc\".replace(\"a\", \"b\", 1.9)", resolve))
+    intercept[IllegalArgumentException](
+      Cel.compile("\"abc\".replace(\"a\", \"b\", \"x\")", resolve))
   }
 
   test("ext.Strings format(): literal format string, cel-go verb subset") {
@@ -194,15 +200,27 @@ class CelSpec extends SparkTestBase {
     assert(s("\"plain, no verbs\".format([])").as[String].collect()(0) == "plain, no verbs")
     // composes as a string for + and size()
     assert(s("size(\"%d\".format([7]))").as[Int].collect()(0) == 1)
-    // fail-closed cases: %b verb, dynamic format string, arity mismatch,
-    // precision on verbs where java.util.Formatter rejects it (%.1d/%.1x
-    // would otherwise compile and throw IllegalFormatPrecisionException
-    // per row at execution)
+    // fail-closed cases: %b verb, arity mismatch, precision on verbs
+    // where java.util.Formatter rejects it (%.1d/%.1x would otherwise
+    // compile and throw IllegalFormatPrecisionException per row at
+    // execution)
     intercept[IllegalArgumentException](Cel.compile("\"%b\".format([3])", resolve))
-    intercept[IllegalArgumentException](Cel.compile("event.message.format([1])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%s %s\".format([1])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%.1d\".format([3])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%.2x\".format([3])", resolve))
+  }
+
+  test("ext.Strings format(): dynamic format strings compile (cel.go:41 full Strings())") {
+    val s = (src: String) => df.select(Cel.compile(src, resolve)).limit(1)
+    // computed format string: verbs resolved per row by java.util.Formatter
+    assert(s("(\"%s=\" + \"%d\").format([\"n\", 7])").as[String].collect()(0) == "n=7")
+    // a field used AS the format string (no verbs → passes through)
+    assert(s("event.message.format([])").as[String].collect()(0)
+      == "ERROR something bad")
+    // the literal path keeps compile-time validation; the dynamic path
+    // still requires a LIST LITERAL of args (fixes the plan's arity)
+    intercept[IllegalArgumentException](
+      Cel.compile("event.message.format(1)", resolve))
   }
 
   test("ext.Strings quote(): Go strconv.Quote escaping") {

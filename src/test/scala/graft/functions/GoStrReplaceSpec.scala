@@ -86,4 +86,37 @@ class GoStrReplaceSpec extends AnyFunSuite {
     assert(expr("oink oink oink", "k", "ky", 2) == "oinky oinky oink")
     assert(expr("oink oink oink", "oink", "moo", -1) == "moo moo moo")
   }
+
+  private def exprBytes(s: Array[Byte], o: String, n: String, c: Long): Array[Byte] =
+    GoStrReplace(
+      Literal(UTF8String.fromBytes(s), StringType),
+      Literal(UTF8String.fromString(o), StringType),
+      Literal(UTF8String.fromString(n), StringType),
+      Literal(c, LongType)).eval(null).asInstanceOf[UTF8String].getBytes
+
+  test("empty-search insertion on INVALID UTF-8 sizes runes like Go utf8.DecodeRune") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val D = 0x2d // '-'
+    def ins(s: Array[Byte], c: Long = -1L): Seq[Int] =
+      exprBytes(s, "", "-", c).map(_ & 0xff).toSeq
+    // stray continuation bytes: each its own 1-byte rune (NOT one run)
+    assert(ins(b(0x80, 0x80)) == Seq(D, 0x80, D, 0x80, D))
+    // truncated 3-byte lead: lead alone is a 1-byte RuneError, the
+    // following continuation is another stray rune
+    assert(ins(b(0xe6, 0x97)) == Seq(D, 0xe6, D, 0x97, D))
+    // valid 3-byte rune (日 = E6 97 A5) followed by a stray continuation
+    assert(ins(b(0xe6, 0x97, 0xa5, 0xa5)) ==
+      Seq(D, 0xe6, 0x97, 0xa5, D, 0xa5, D))
+    // overlong: E0 needs first continuation in A0..BF — three 1-byte runes
+    assert(ins(b(0xe0, 0x80, 0x80)) == Seq(D, 0xe0, D, 0x80, D, 0x80, D))
+    // surrogate range: ED A0 80 — first continuation must be <= 9F
+    assert(ins(b(0xed, 0xa0, 0x80)) == Seq(D, 0xed, D, 0xa0, D, 0x80, D))
+    // above U+10FFFF: F4 90 — first continuation must be <= 8F
+    assert(ins(b(0xf4, 0x90, 0x80, 0x80)) ==
+      Seq(D, 0xf4, D, 0x90, D, 0x80, D, 0x80, D))
+    // invalid leads C0/C1/F5 are 1-byte runes
+    assert(ins(b(0xc0, 0xaf)) == Seq(D, 0xc0, D, 0xaf, D))
+    // budget still bounds the per-rune insertions
+    assert(ins(b(0x80, 0x80), c = 2L) == Seq(D, 0x80, D, 0x80))
+  }
 }

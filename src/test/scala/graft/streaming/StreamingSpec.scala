@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkTestBase {
 
+  test("trigger sizing check warns on fixed-cost-dominated micro-batches (BENCH.md streaming series)") {
+    val tmp = Files.createTempDirectory("graft-trigger-size").toString
+    val inputDir = s"$tmp/in"
+    // tiny files: any small trigger is far under 16 MB/core
+    TranscriptGen.generate(spark, seed = 31L, nConvs = 20L, parallelism = 4)
+      .toDF().write.parquet(inputDir)
+    val warn = StreamingPipeline.triggerSizingWarning(spark, inputDir, maxFilesPerTrigger = 2)
+    assert(warn.isDefined, "toy micro-batches must be flagged")
+    assert(warn.get.contains("fixed cost") && warn.get.contains("maxFilesPerTrigger=2"))
+    // an adequately sized trigger passes (bar lowered via the parameter —
+    // test data can't reach 16 MB/core × 32 cores)
+    assert(StreamingPipeline.triggerSizingWarning(spark, inputDir,
+      maxFilesPerTrigger = 4, minBytesPerCore = 1L).isEmpty)
+    // missing dir (nothing listed yet) → no verdict
+    assert(StreamingPipeline.triggerSizingWarning(spark, s"$tmp/missing", 2).isEmpty)
+    // empty dir (no parquet yet) → no verdict
+    val emptyDir = s"$tmp/empty"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(emptyDir))
+    assert(StreamingPipeline.triggerSizingWarning(spark, emptyDir, 2).isEmpty)
+  }
+
   test("streaming pipeline over micro-batches equals the batch pipeline") {
     val tmp = Files.createTempDirectory("graft-stream").toString
     val inputDir = s"$tmp/in"
