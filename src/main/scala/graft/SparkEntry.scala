@@ -42,6 +42,9 @@ object SparkEntry {
       "q_fingerprint" -> (graft.queries.QueriesML.qFingerprint _),
       "q_multimodal" -> (graft.queries.QueriesML.qMultimodal _),
       "q_multimodal_resize" -> (graft.queries.QueriesR5.qMultimodalResize _),
+      "q_quality_gopher" -> (graft.queries.QueriesR5.qQualityGopher _),
+      "q_pii_redact" -> (graft.queries.QueriesR5.qPiiRedact _),
+      "q_chunk_windows" -> (graft.queries.QueriesR5.qChunkWindows _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -93,6 +96,9 @@ object SparkEntry {
       "q_fingerprint" -> graft.queries.QueriesML.qFingerprintSql,
       "q_multimodal" -> graft.queries.QueriesML.qMultimodalSql,
       "q_multimodal_resize" -> graft.queries.QueriesR5.qMultimodalResizeSql,
+      "q_quality_gopher" -> graft.queries.QueriesR5.qQualityGopherSql,
+      "q_pii_redact" -> graft.queries.QueriesR5.qPiiRedactSql,
+      "q_chunk_windows" -> graft.queries.QueriesR5.qChunkWindowsSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
+import graft.text.TextAnalysis
 
 /** Round-5 driver queries. */
 object QueriesR5 {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
   // ---------------------------------------------------------------
   // Multimodal resize + frame sampling, oracle-checked (round-4 additions
@@ -74,4 +78,122 @@ object QueriesR5 {
        |FROM rz LEFT JOIN fagg ON rz.media_id = fagg.media_id
        |ORDER BY rz.media_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Gopher-style quality rules (Rae et al. 2021 §A1.1) as an integer
+  // lattice — every signal a count, every verdict an integer comparison,
+  // so the whole row is bit-exact cross-engine. The oracle recomputes
+  // word splitting, per-word filters, stopword distinctness and all five
+  // keep-rules in SQL.
+  // ---------------------------------------------------------------
+  def qQualityGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    docs.select(col("doc_id"), TextAnalysis.gopherQuality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.*"))
+      .orderBy("doc_id")
+  }
+  val qQualityGopherSql: String = {
+    val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT)
+       |      AS total_word_chars,
+       |    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |      AS n_alpha_words,
+       |    CAST(len(list_filter(words, x -> lower(x) IN ($stops))) AS BIGINT)
+       |      AS n_stop_hits,
+       |    CAST(len(list_distinct(list_transform(
+       |      list_filter(words, x -> lower(x) IN ($stops)), x -> lower(x)))) AS BIGINT)
+       |      AS n_distinct_stops,
+       |    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words
+       |  FROM w)
+       |SELECT *,
+       |  (n_words BETWEEN 50 AND 100000
+       |   AND total_word_chars >= n_words * 3 AND total_word_chars <= n_words * 10
+       |   AND n_alpha_words * 5 >= n_words * 4
+       |   AND n_distinct_stops >= 2
+       |   AND n_distinct_words * 10 >= n_words * 3) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // PII redaction: the test tables carry no PII by construction, so the
+  // query synthesizes realistic messages deterministically from events
+  // columns (the q_grok_nginx pattern), redacts, and the oracle replays
+  // the same synthesis + the same regex chain. Compared by TEXT EQUALITY
+  // on the redacted message plus per-kind match counts.
+  // ---------------------------------------------------------------
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val msg = concat(
+      lit("user=u"), col("user_id").cast("string"),
+      lit(" mail=u"), col("user_id").cast("string"), lit("@example.com"),
+      lit(" src=10."), (col("user_id") % 200).cast("string"),
+      lit(".0."), (col("event_id") % 200).cast("string"),
+      lit(" tel=+1-555-"), lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+      lit(" type="), col("event_type"))
+    ev.filter(col("event_id") < 2000)
+      .select(col("event_id"), msg.as("message"))
+      .select(col("event_id"),
+        TextAnalysis.redactPii(col("message")).as("redacted"),
+        TextAnalysis.piiCounts(col("message")).as("c"))
+      .select(col("event_id"), col("redacted"),
+        col("c.emails").as("n_emails"), col("c.ips").as("n_ips"),
+        col("c.phones").as("n_phones"))
+      .orderBy("event_id")
+  }
+  val qPiiRedactSql: String =
+    s"""WITH m AS (
+       |  SELECT event_id,
+       |    'user=u' || CAST(user_id AS VARCHAR)
+       |      || ' mail=u' || CAST(user_id AS VARCHAR) || '@example.com'
+       |      || ' src=10.' || CAST(user_id % 200 AS VARCHAR)
+       |      || '.0.' || CAST(event_id % 200 AS VARCHAR)
+       |      || ' tel=+1-555-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' type=' || event_type AS message
+       |  FROM events WHERE event_id < 2000)
+       |SELECT event_id,
+       |  regexp_replace(regexp_replace(regexp_replace(message,
+       |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+       |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+       |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(message, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(message, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(message, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones
+       |FROM m ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Token-window chunking (training context windows with overlap):
+  // window=32 tokens, stride=24 (8-token overlap). Compared by TEXT
+  // EQUALITY on every chunk. The oracle rebuilds the windows with
+  // 1-based inclusive list slicing over a fixed start range.
+  // ---------------------------------------------------------------
+  val ChunkWindow = 32
+  val ChunkStride = 24
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        explode(TextAnalysis.chunkWindows(col("text"), ChunkWindow, ChunkStride)).as("ch"))
+      .select(col("doc_id"), col("ch.*"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+  val qChunkWindowsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |  FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(least($ChunkWindow, len(words) - i * $ChunkStride) AS BIGINT) AS n_tokens,
+       |  array_to_string(words[(i * $ChunkStride + 1):(i * $ChunkStride + $ChunkWindow)], ' ')
+       |    AS chunk_text
+       |FROM w CROSS JOIN range(64) t(i)
+       |WHERE i * $ChunkStride < len(words)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

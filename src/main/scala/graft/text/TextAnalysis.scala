@@ -78,6 +78,99 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style quality rules (Rae et al. 2021, §A1.1; the C4/Gopher
+    * filter family) as an INTEGER lattice: every signal is a count and
+    * every verdict an integer comparison, so the whole struct is
+    * bit-exact across engines (no float ratio anywhere — a ratio bound
+    * `x/n < r` is spelled `x·d < n·m` for r = m/d). Signals:
+    *
+    *   - `n_words`, `total_word_chars` — word-count and mean-word-length
+    *     bounds (Gopher: 50..100k words, mean len 3..10);
+    *   - `n_alpha_words` — words containing an alphabetic char (Gopher:
+    *     ≥80%);
+    *   - `n_stop_hits`, `n_distinct_stops` — stopword presence (Gopher:
+    *     ≥2 distinct of a fixed small set);
+    *   - `n_distinct_words` — within-doc repetition (the duplicate-line
+    *     family collapsed to word granularity for single-line docs;
+    *     keep requires distinct/total ≥ 30%).
+    *
+    * `keep` ANDs the five rules. Returns a struct column; select fields
+    * or the flag as needed.
+    */
+  def gopherQuality(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+    val nWords = size(words).cast("long")
+    val totalChars = coalesce(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)), lit(0L))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stops = filter(words, w => lower(w).isin(Stopwords: _*))
+    val nStopHits = size(stops).cast("long")
+    val nDistinctStops = size(array_distinct(transform(stops, lower(_)))).cast("long")
+    val nDistinct = size(array_distinct(words)).cast("long")
+    val keep =
+      nWords.between(minWords, maxWords) &&
+      (totalChars >= nWords * 3) && (totalChars <= nWords * 10) &&
+      (nAlpha * 5 >= nWords * 4) &&
+      (nDistinctStops >= 2) &&
+      (nDistinct * 10 >= nWords * 3)
+    struct(
+      nWords.as("n_words"),
+      totalChars.as("total_word_chars"),
+      nAlpha.as("n_alpha_words"),
+      nStopHits.as("n_stop_hits"),
+      nDistinctStops.as("n_distinct_stops"),
+      nDistinct.as("n_distinct_words"),
+      keep.as("keep"))
+  }
+
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * phone-shaped numbers replaced by typed placeholders. Pure
+    * `regexp_replace` chain (codegen'd, global replace) with patterns
+    * inside the RE2 ∩ java.util.regex common dialect (no lookaround, no
+    * backrefs) so an oracle can replay them verbatim.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  def redactPii(text: Column): Column = {
+    // email first: an address's host part would otherwise be left as a
+    // phone/ip candidate after partial rewrites
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII matches by kind (pre-redaction), for audit columns. */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("ips"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("phones"))
+
+  /** Token-window chunking for training-context windows: whitespace
+    * tokens sliced into windows of `window` tokens every `stride` tokens
+    * (overlap = window − stride). Returns an array of
+    * (chunk_idx, n_tokens, chunk_text) structs — explode for row-per-
+    * chunk. Every token lands in ≥1 chunk; the last chunk may be short;
+    * empty text → empty array. Stride ≤ window keeps coverage; both
+    * must be positive.
+    */
+  def chunkWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+    val n = size(words)
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), n - 1, lit(stride)))
+    transform(starts, (s, i) => struct(
+      i.cast("long").as("chunk_idx"),
+      least(lit(window), size(words) - s).cast("long").as("n_tokens"),
+      array_join(slice(words, s + 1, lit(window)), " ").as("chunk_text")))
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens — order-
     * sensitive (unlike a bag-of-words hash), cheap, and reproducible in
     * ANSI SQL (`list_reduce`): fp = fold(tokens, 7, acc·31 + len(w)·17 +

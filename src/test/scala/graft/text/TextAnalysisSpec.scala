@@ -41,4 +41,60 @@ class TextAnalysisSpec extends SparkTestBase {
       assert(one(t, TextAnalysis.fingerprint($"text")) == local(t), s"fp($t)")
     assert(local("hello world") != local("world hello"))
   }
+
+  test("gopherQuality: integer signals and the five keep-rules") {
+    def q(text: String): org.apache.spark.sql.Row =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.gopherQuality($"text", minWords = 5).as("q"))
+        .select("q.*").collect()(0)
+    val good = q("the quick brown foxes and dogs jumped over a lazy fence near it")
+    assert(good.getAs[Long]("n_words") == 13)
+    assert(good.getAs[Long]("total_word_chars") == 51)
+    assert(good.getAs[Long]("n_distinct_stops") >= 2)
+    assert(good.getAs[Boolean]("keep"))
+    // too few words
+    assert(!q("the cat").getAs[Boolean]("keep"))
+    // no stopword diversity
+    assert(!q("cat dog bird fish mouse horse goat").getAs[Boolean]("keep"))
+    // repetition: distinct/total < 30%
+    assert(!q(("the a " + "spam " * 30).trim).getAs[Boolean]("keep"))
+    // mean word length out of [3,10]: single-char soup
+    assert(!q("a b c d e f g h the a").getAs[Boolean]("keep"))
+    // empty text: zero everywhere, not kept, no crash
+    val empty = q("")
+    assert(empty.getAs[Long]("n_words") == 0 && !empty.getAs[Boolean]("keep"))
+  }
+
+  test("redactPii replaces emails, IPv4s and phones; counts match") {
+    val s = "from bob.smith+x@mail.example.org at 192.168.0.1 call +44-555-1234 end"
+    assert(one(s, TextAnalysis.redactPii($"text")) ==
+      "from <EMAIL> at <IP> call <PHONE> end")
+    val c = Seq(s).toDF("text")
+      .select(TextAnalysis.piiCounts($"text").as("c")).select("c.*").collect()(0)
+    assert(c.getAs[Long]("emails") == 1 && c.getAs[Long]("ips") == 1
+      && c.getAs[Long]("phones") == 1)
+    // non-PII text passes through untouched (version strings are not IPs:
+    // 1.2.3.4 IS ip-shaped, but 1.2.3 is not)
+    assert(one("release 1.2.3 shipped", TextAnalysis.redactPii($"text")) ==
+      "release 1.2.3 shipped")
+  }
+
+  test("chunkWindows: full coverage, overlap, short last chunk, empty text") {
+    def chunks(text: String, w: Int, s: Int): Seq[(Long, Long, String)] =
+      Seq(text).toDF("text")
+        .select(explode(TextAnalysis.chunkWindows($"text", w, s)).as("c"))
+        .select("c.*").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val got = chunks(words, 4, 3)
+    assert(got == Seq(
+      (0L, 4L, "w1 w2 w3 w4"), (1L, 4L, "w4 w5 w6 w7"),
+      (2L, 4L, "w7 w8 w9 w10"), (3L, 1L, "w10")))
+    // every token appears in at least one chunk
+    assert(got.flatMap(_._3.split(" ")).toSet == words.split(" ").toSet)
+    // stride == window → disjoint cover
+    assert(chunks(words, 5, 5).map(_._3) == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+    assert(chunks("", 4, 3).isEmpty)
+    intercept[IllegalArgumentException](chunks("x", 3, 4)) // stride > window
+  }
 }
