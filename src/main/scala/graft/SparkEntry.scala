@@ -45,6 +45,7 @@ object SparkEntry {
       "q_quality_gopher" -> (graft.queries.QueriesR5.qQualityGopher _),
       "q_pii_redact" -> (graft.queries.QueriesR5.qPiiRedact _),
       "q_chunk_windows" -> (graft.queries.QueriesR5.qChunkWindows _),
+      "q_ann_ivf_trained" -> (graft.queries.QueriesR5.qAnnIvfTrained _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -99,6 +100,7 @@ object SparkEntry {
       "q_quality_gopher" -> graft.queries.QueriesR5.qQualityGopherSql,
       "q_pii_redact" -> graft.queries.QueriesR5.qPiiRedactSql,
       "q_chunk_windows" -> graft.queries.QueriesR5.qChunkWindowsSql,
+      "q_ann_ivf_trained" -> graft.queries.QueriesR5.qAnnIvfTrainedSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

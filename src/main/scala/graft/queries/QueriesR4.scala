@@ -34,13 +34,20 @@ object QueriesR4 {
       .withColumn("c0", element_at(c0, col("cluster").cast("int") + 1))
       .orderBy("cluster")
   }
-  val qKmeansSql: String = {
-    // Cosine spelled explicitly as dot/(sqrt(na)*sqrt(nb)) from
-    // list_inner_product — the SAME formula NearestCells computes — rather
-    // than trusting list_cosine_similarity's internal accumulation to
-    // agree (it happens to on these datasets, but it is not contractual).
-    def cos(a: String, b: String): String =
-      s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+  // Cosine spelled explicitly as dot/(sqrt(na)*sqrt(nb)) from
+  // list_inner_product — the SAME formula NearestCells/CosineSim compute —
+  // rather than trusting list_cosine_similarity's internal accumulation to
+  // agree (it happens to on these datasets, but it is not contractual).
+  private[queries] def cos(a: String, b: String): String =
+    s"(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
+
+  /** The k-means training unrolled as a CTE chain (`e`, `c0`,
+    * (`a_i`,`s_i`,`c_i`)×iters) — final centroids land in `c<iters>`.
+    * Shared by the q_kmeans oracle and the trained-IVF oracle
+    * (QueriesR5.qAnnIvfTrainedSql), so both replay the IDENTICAL
+    * training arithmetic.
+    */
+  private[queries] val kmeansCteChain: String = {
     def iter(prev: String, a: String, s: String, next: String): String =
       s"""$a AS (SELECT vec_id, q, cent FROM (
          |   SELECT e.vec_id, e.q, c.cent,
@@ -54,14 +61,18 @@ object QueriesR4 {
          |   GROUP BY a.cent, t.pos) GROUP BY cent),
          |$next AS (SELECT p.cent, COALESCE($s.cs, p.cs) AS cs
          |  FROM $prev p LEFT JOIN $s USING (cent))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
        |    list_transform(embedding::DOUBLE[],
        |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cent, q AS cs
        |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $KmeansK)),
        |${iter("c0", "a1", "s1", "c1")},
-       |${iter("c1", "a2", "s2", "c2")},
+       |${iter("c1", "a2", "s2", "c2")}""".stripMargin
+  }
+
+  val qKmeansSql: String =
+    s"""WITH $kmeansCteChain,
        |af AS (SELECT vec_id, cent FROM (
        |   SELECT e.vec_id, c.cent,
        |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -72,7 +83,6 @@ object QueriesR4 {
        |  CAST(any_value(c2.cs[1]) AS BIGINT) AS c0
        |FROM af JOIN c2 ON af.cent = c2.cent
        |GROUP BY af.cent ORDER BY cluster""".stripMargin
-  }
 
   // ---------------------------------------------------------------
   // fact-courier analog (munin.go / munintype.go): events shaped into

@@ -80,6 +80,50 @@ object QueriesR5 {
   }
 
   // ---------------------------------------------------------------
+  // IVF over the TRAINED quantizer (the stated purpose of q_kmeans):
+  // kmeansCentroids (same k/iters as q_kmeans) trains the cells, then
+  // ivfTopKTrained probes them. The oracle replays the IDENTICAL
+  // training arithmetic via QueriesR4.kmeansCteChain, then the probe —
+  // corpus argmax assignment, nprobe query cells, explicit
+  // dot/(√na·√nb) cosine — entirely in SQL.
+  // ---------------------------------------------------------------
+  val IvfTrainedNprobe = 3
+  def qAnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = graft.sim.Ann.kmeansCentroids(emb,
+      k = QueriesR4.KmeansK, iters = QueriesR4.KmeansIters, dim = 64)
+    graft.sim.Ann.ivfTopKTrained(emb, emb.filter(col("vec_id") < 10),
+        k = 5, cents, nprobe = IvfTrainedNprobe)
+      .orderBy("query_id", "rank")
+  }
+  val qAnnIvfTrainedSql: String = {
+    import QueriesR4.{cos, kmeansCteChain}
+    s"""WITH $kmeansCteChain,
+       |cents AS (SELECT cent AS cent_id,
+       |    list_transform(cs, x -> x::DOUBLE) AS cvec FROM c2),
+       |corpus_assign AS (
+       |  SELECT vec_id, v, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cent_id) AS rk
+       |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+       |query_assign AS (
+       |  SELECT vec_id AS query_id, v AS qvec, cent_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos("e.v", "c.cvec")} DESC, c.cent_id) AS rk
+       |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rk <= $IvfTrainedNprobe),
+       |sims AS (SELECT q.query_id, ca.vec_id AS neighbor_id,
+       |    ${cos("q.qvec", "ca.v")} AS sim
+       |  FROM query_assign q JOIN corpus_assign ca USING (cent_id)
+       |  WHERE ca.vec_id != q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+       |SELECT query_id, rank, neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Gopher-style quality rules (Rae et al. 2021 §A1.1) as an integer
   // lattice — every signal a count, every verdict an integer comparison,
   // so the whole row is bit-exact cross-engine. The oracle recomputes
