@@ -31,6 +31,14 @@ object PlanDump {
     // (the per-iteration centroid job has the same shape + one k×dim agg)
     dump("q_facts", graft.queries.QueriesR4.qFacts(s, dir))
     dump("q_kmeans", graft.queries.QueriesR4.qKmeans(s, dir))
+    // round-5 surfaces: the text ops must be pure projections over the
+    // scan (zero Exchange before the driver-only orderBy); trained IVF
+    // must keep the fused-argmax zero-Exchange assignment shape
+    dump("q_quality_gopher", graft.queries.QueriesR5.qQualityGopher(s, dir))
+    dump("q_pii_redact", graft.queries.QueriesR5.qPiiRedact(s, dir))
+    dump("q_chunk_windows", graft.queries.QueriesR5.qChunkWindows(s, dir))
+    dump("q_multimodal_resize", graft.queries.QueriesR5.qMultimodalResize(s, dir))
+    dump("q_ann_ivf_trained", graft.queries.QueriesR5.qAnnIvfTrained(s, dir))
     s.stop()
   }
 }
