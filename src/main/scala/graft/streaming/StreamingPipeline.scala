@@ -194,6 +194,29 @@ object StreamingPipeline {
     }
   }
 
+  /** Streaming face of exact dedup (`Dedup.exact`): bounded-state
+    * duplicate suppression keyed on content. The batch operator confirms
+    * full-text equality inside each hash group; a stream cannot hold full
+    * documents in state at 100 TB, so the streaming face keys on a
+    * 128-bit composite of two independent 64-bit hash lanes — ~32 bytes
+    * of state per distinct doc inside the watermark horizon, collision
+    * odds ≈ n²/2¹²⁹ (≪10⁻²⁰ at a billion in-horizon docs). State is
+    * evicted by the watermark: `horizon` IS the dedup window, sized by
+    * the caller to how far apart duplicates actually arrive (e.g. a
+    * crawler's re-fetch interval), which keeps state bounded regardless
+    * of stream length. First arrival is emitted immediately (append
+    * mode); later copies inside the horizon are dropped.
+    */
+  def dedupExactStream(turns: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
+    turns
+      .withColumn("_dk0", xxhash64(col(textCol)))
+      // second lane: same function, extra salt column → independent hash
+      .withColumn("_dk1", xxhash64(col(textCol), lit(0x9E3779B97F4A7C15L)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_dk0", "_dk1")
+      .drop("_dk0", "_dk1")
+
   /** Windowed per-sink throughput counters — the admin-API live metrics
     * (`speed_lps`-style, 5 s EWMA analog becomes a sliding event-time
     * window aggregate).

@@ -196,6 +196,51 @@ class StreamingSpec extends SparkTestBase {
       array_contains(col("tags"), "cfg_v2")).count() == 0)
   }
 
+  test("streaming exact dedup drops in-horizon copies with bounded state (batch Dedup.exact analog)") {
+    import java.sql.Timestamp
+    import graft.model.Turn
+    val tmp = Files.createTempDirectory("graft-stream-dedup").toString
+    val inputDir = s"$tmp/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inputDir))
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // two files → two micro-batches; duplicates both within and across batches
+    val batch1 = Seq(
+      Turn("c1", 0, "user", "alpha text", "", ts(0)),
+      Turn("c1", 1, "user", "beta text", "", ts(1)),
+      Turn("c2", 0, "user", "alpha text", "", ts(2))) // dup within batch
+    val batch2 = Seq(
+      Turn("c3", 0, "user", "beta text", "", ts(3)),  // dup across batches
+      Turn("c3", 1, "user", "gamma text", "", ts(4)))
+    import spark.implicits._
+    batch1.toDF().repartition(1).write.parquet(s"$inputDir/f1")
+    batch2.toDF().repartition(1).write.parquet(s"$inputDir/f2")
+
+    val in = spark.readStream.schema(Turn.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inputDir/*")
+    val q = StreamingPipeline.dedupExactStream(in, horizon = "1 hour")
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dedup_stream").collect()
+    // one survivor per distinct text; all five columns intact (key cols dropped)
+    assert(out.map(_.getAs[String]("text")).sorted.toSeq ==
+      Seq("alpha text", "beta text", "gamma text"))
+    assert(out.head.schema.fieldNames.toSet == Turn.schema.fieldNames.toSet)
+    // the emitted survivor is the first arrival of each text
+    val byText = out.map(r => r.getAs[String]("text") -> r.getAs[String]("conv_id")).toMap
+    assert(byText("alpha text") == "c1" && byText("beta text") == "c1")
+    // bounded-state contract: state rows == distinct keys (3), not input rows
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max == 3L,
+      s"state should hold one row per distinct key, got ${stateRows.toSeq}")
+  }
+
   test("session_window assembly flushes on event-time gaps") {
     import spark.implicits._
     val rows = Seq(
