@@ -46,6 +46,9 @@ object SparkEntry {
       "q_pii_redact" -> (graft.queries.QueriesR5.qPiiRedact _),
       "q_chunk_windows" -> (graft.queries.QueriesR5.qChunkWindows _),
       "q_ann_ivf_trained" -> (graft.queries.QueriesR5.qAnnIvfTrained _),
+      "q_span_dedup" -> (graft.queries.QueriesR5.qSpanDedup _),
+      "q_decontaminate" -> (graft.queries.QueriesR5.qDecontaminate _),
+      "q_mix_sample" -> (graft.queries.QueriesR5.qMixSample _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -101,6 +104,9 @@ object SparkEntry {
       "q_pii_redact" -> graft.queries.QueriesR5.qPiiRedactSql,
       "q_chunk_windows" -> graft.queries.QueriesR5.qChunkWindowsSql,
       "q_ann_ivf_trained" -> graft.queries.QueriesR5.qAnnIvfTrainedSql,
+      "q_span_dedup" -> graft.queries.QueriesR5.qSpanDedupSql,
+      "q_decontaminate" -> graft.queries.QueriesR5.qDecontaminateSql,
+      "q_mix_sample" -> graft.queries.QueriesR5.qMixSampleSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

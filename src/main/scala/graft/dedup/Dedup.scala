@@ -367,4 +367,98 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Every k-token window occurrence: `(id, start, wtext)` with `start`
+    * the 0-based whitespace-token index. Unlike [[shingles]] (distinct
+    * set semantics for Jaccard), span work needs EVERY occurrence with
+    * its position — within-doc repeats included — so this is the plain
+    * Column spelling over `\s+` tokens (the [[graft.text.TextAnalysis]]
+    * tokenization, making the windows SQL-replayable).
+    */
+  def spanWindows(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    df.select(col(idCol).as("id"), words.as("_w"))
+      .select(col("id"), posexplode(
+        when(size(col("_w")) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("_w")) - k),
+            s => array_join(slice(col("_w"), s + 1, lit(k)), " ")))))
+      .withColumnRenamed("pos", "start").withColumnRenamed("col", "wtext")
+  }
+
+  /** Exact substring dedup at k-token-window granularity (the
+    * distributable re-expression of suffix-array substring dedup, Lee et
+    * al. 2021 "Deduplicating Training Data Makes Language Models Better"
+    * — suffix arrays don't shard, stride-1 hashed windows do): every
+    * occurrence of a window whose text repeats ≥ `minDup` times
+    * corpus-wide. Output `(id, start, n_occ, n_docs)` per occurrence.
+    *
+    * Scale shape is [[jaccardPairs]]'s single-pass bounded postings: one
+    * corpus scan, windows grouped on `(xxhash64(wtext), wtext)` (8-byte
+    * leading shuffle key, in-group text equality — collision-safe as in
+    * [[exact]]), occurrences collected via [[graft.functions.BoundedCollectList]]
+    * saturating at `maxOcc` → NULL. A span hotter than `maxOcc` is
+    * corpus boilerplate ("all rights reserved …") — exactly what a
+    * second, cheaper pass with a boilerplate list handles; keeping it
+    * would make one reducer key hold the whole corpus. No join anywhere;
+    * per-doc window totals come straight off the scan expression.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDup: Int = 2, maxOcc: Int = 1000): DataFrame = {
+    require(minDup >= 2 && maxOcc >= minDup,
+      s"need minDup >= 2 and maxOcc >= minDup, got minDup=$minDup maxOcc=$maxOcc")
+    spanWindows(df, idCol, textCol, k)
+      .groupBy(xxhash64(col("wtext")).as("_h"), col("wtext"))
+      .agg(graft.functions.BoundedCollectList(
+          struct(col("id"), col("start")), maxOcc).as("occs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minDup && col("occs").isNotNull)
+      .select(explode(col("occs")).as("o"), col("n_occ"))
+      .select(col("o.id").as("id"), col("o.start").as("start"), col("n_occ"))
+  }
+
+  /** Per-doc duplicated-span accounting — the curation decision input
+    * ("drop docs that are mostly boilerplate", "cut repeated spans"):
+    * `(id, n_windows, n_dup_windows)`. Window totals are a pure column
+    * expression on the corpus scan (no second explode); duplicated
+    * counts aggregate [[duplicatedSpans]] per doc and join back on the
+    * id — a key-partitioned join of two already-aggregated sides.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minDup: Int = 2, maxOcc: Int = 1000): DataFrame = {
+    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val totals = df.select(col(idCol).as("id"),
+      greatest(size(words) - (k - 1), lit(0)).cast("long").as("n_windows"))
+    val dups = duplicatedSpans(df, idCol, textCol, k, minDup, maxOcc)
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    totals.join(dups, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** Benchmark decontamination (the GPT-3 appendix-C n-gram overlap
+    * check, standard in every training pipeline): count each corpus
+    * doc's k-token windows that also occur in the benchmark/eval set.
+    * `(id, n_hit_windows)` — rows only for contaminated docs; callers
+    * drop or audit them.
+    *
+    * The benchmark side is DISTINCT k-grams of the eval corpus — small
+    * and CORPUS-INDEPENDENT (eval sets are fixed; they do not grow with
+    * the 100 TB side), so a broadcast semi-join is the correct plan
+    * here, in deliberate contrast to the stop-shingle broadcast banned
+    * from [[jaccardPairs]] (that set grew with the corpus). The corpus
+    * side stays a single scan + explode; no shuffle of corpus windows —
+    * only the final per-doc count aggregation shuffles (id, count)
+    * partials.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val benchGrams = spanWindows(benchmark, idCol, textCol, k)
+      .select(col("wtext")).distinct()
+    spanWindows(corpus, idCol, textCol, k)
+      .join(broadcast(benchGrams), Seq("wtext"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit_windows"))
+  }
 }

@@ -240,4 +240,99 @@ object QueriesR5 {
        |FROM w CROSS JOIN range(64) t(i)
        |WHERE i * $ChunkStride < len(words)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // shared oracle prelude for the span-window queries: whitespace words +
+  // every k-token window with its text (range(256) safely covers the
+  // shipped ≤100-word docs at every sf)
+  private def winsCte(k: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, array_to_string(words[(i+1):(i+$k)], ' ') AS wtext
+       |  FROM w CROSS JOIN range(256) t(i)
+       |  WHERE i + $k <= len(words))""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Exact substring dedup at k-token-window granularity (Lee et al.
+  // 2021 re-expressed as bounded hashed-window postings): per-doc
+  // window totals and duplicated-window counts. maxOcc=1000 is the
+  // boilerplate guard, a no-op at this sf (hottest span ≪ 1000 occs)
+  // exactly like q_embed_neardup's occupancy cap — the plan is the
+  // bounded one, the rows are the unbounded ones, so the oracle can
+  // recompute them by global window counts.
+  // ---------------------------------------------------------------
+  val SpanK = 8
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.spanDupStats(tbl(spark, dir, "documents"),
+        "doc_id", "text", SpanK, minDup = 2, maxOcc = 1000)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"))
+      .orderBy("doc_id")
+  val qSpanDedupSql: String =
+    s"""${winsCte(SpanK)},
+       |g AS (SELECT wtext, count(*) AS n_occ FROM wins GROUP BY wtext),
+       |d AS (SELECT wins.doc_id, count(*) AS n_dup_windows
+       |      FROM wins JOIN g USING (wtext) WHERE g.n_occ >= 2
+       |      GROUP BY wins.doc_id)
+       |SELECT w.doc_id,
+       |  CAST(greatest(len(words) - ${SpanK - 1}, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(d.n_dup_windows, 0) AS BIGINT) AS n_dup_windows
+       |FROM w LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Benchmark decontamination (GPT-3 appendix-C n-gram overlap): the
+  // deterministic doc_id % 7 == 0 slice plays the eval set; corpus docs
+  // sharing any 8-gram with it are contaminated. The benchmark side is
+  // small and corpus-independent → broadcast semi-join is the CORRECT
+  // plan (vs the banned corpus-growing stop-shingle broadcast).
+  // ---------------------------------------------------------------
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.dedup.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", SpanK)
+      .select(col("id").as("doc_id"), col("n_hit_windows"))
+      .orderBy("doc_id")
+  }
+  val qDecontaminateSql: String =
+    s"""${winsCte(SpanK)},
+       |bench AS (SELECT DISTINCT wtext FROM wins WHERE doc_id % 7 = 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_windows
+       |FROM wins JOIN bench USING (wtext)
+       |WHERE doc_id % 7 <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Deterministic mixture sampling (the data-mixing stage): per-lang
+  // target keep-rates applied as a pure md5-threshold predicate — same
+  // verdict per row on any cluster size / partitioning / rerun. The
+  // oracle replays the exact row set via the identical lexicographic
+  // hex-prefix comparison (see graft.sample.Sampling's contract).
+  // ---------------------------------------------------------------
+  val MixRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.9, "fr" -> 1.0, "zh" -> 0.25)
+  val MixDefault = 0.75 // es and anything unlisted
+  def qMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val keep = graft.sample.Sampling.mixtureKeep(
+      col("doc_id"), col("lang"), MixRates, MixDefault)
+    docs.groupBy("lang").agg(
+        count(lit(1)).as("n_total"),
+        sum(keep.cast("long")).as("n_kept"))
+      .orderBy("lang")
+  }
+  val qMixSampleSql: String = {
+    val cases = MixRates.toSeq.sorted.map { case (g, r) =>
+      s"WHEN lang = '$g' THEN '${graft.sample.Sampling.thresholdHex(r)}'"
+    }.mkString("\n|    ")
+    s"""SELECT lang, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+       |    CASE $cases
+       |    ELSE '${graft.sample.Sampling.thresholdHex(MixDefault)}' END
+       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

@@ -1,0 +1,72 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus curation — the data-mixing stage of
+  * a training pipeline (per-source/per-language target rates, DoReMi-style
+  * static mixtures) plus the general content-hash split behind
+  * `q_sample_split`.
+  *
+  * Everything here is a pure column predicate over a hash of the row's own
+  * key: no RNG state, no shuffle, no driver round-trip — the same row
+  * gets the same verdict on any cluster size, any partitioning, any rerun
+  * (reproducible training sets), and rates compose per partition with no
+  * coordination at 100 TB.
+  *
+  * Cross-engine contract: the keep decision compares the first 8 hex
+  * chars of `md5(key)` LEXICOGRAPHICALLY against the rate's 8-hex
+  * threshold. Lowercase hex of a fixed width compares identically as a
+  * string and as the number it encodes, and md5 is bit-identical in every
+  * engine — so a DuckDB/Trino/Flink oracle replays the exact row set,
+  * with rate resolution 2⁻³². `rate ≥ 1` uses threshold `"g"`, which is
+  * lexicographically above every hex string — always-keep.
+  */
+object Sampling {
+
+  /** 8-hex threshold for `rate` ∈ [0,1]: floor(rate·2³²) as lowercase
+    * hex; `"g"` for rate ≥ 1 (above all hex — always keep).
+    */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** The sampling hash: first 8 hex chars of md5 of the key's string
+    * form. Key choice is the caller's dedup-vs-coverage decision: hash
+    * the doc id for uniform row sampling, the text for
+    * duplicate-consistent sampling (copies get one verdict, as
+    * `q_sample_split` does for train/val leakage).
+    */
+  def hash8(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  /** Keep-predicate at a single rate. */
+  def keep(key: Column, rate: Double): Column =
+    hash8(key) < lit(thresholdHex(rate))
+
+  /** Keep-predicate for a group-keyed mixture: `rates` maps group values
+    * to target keep-rates; groups not listed use `default`. The rate
+    * table is a compile-time literal CASE chain — mixtures are small
+    * config, never data.
+    */
+  def mixtureKeep(key: Column, group: Column, rates: Map[String, Double],
+      default: Double = 1.0): Column = {
+    val h = hash8(key)
+    rates.toSeq.sortBy(_._1).foldRight(h < lit(thresholdHex(default))) {
+      case ((g, r), acc) => when(group === lit(g), h < lit(thresholdHex(r))).otherwise(acc)
+    }
+  }
+
+  /** Filter `df` to the mixture: deterministic per-group downsampling. */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], default: Double = 1.0): DataFrame =
+    df.filter(mixtureKeep(col(keyCol), col(groupCol), rates, default))
+
+  /** Two-way content-hash split (train/val): `splitCol` is "val" for the
+    * top `valFrac` of hash space, "train" otherwise. Hashing content
+    * (not ids) keeps every copy of a duplicated doc on one side — no
+    * train/val leakage through duplicates.
+    */
+  def contentSplit(key: Column, valFrac: Double): Column =
+    when(hash8(key) >= lit(thresholdHex(1.0 - valFrac)), "val").otherwise("train")
+}

@@ -173,4 +173,83 @@ class DedupSpec extends SparkTestBase {
     val capped = Dedup.jaccardPairs(df, "id", "text", 0.9, maxDf = 1)
     assert(capped.count() == 0)
   }
+
+  private def localWindows(text: String, k: Int): Seq[(Int, String)] = {
+    val t = text.trim
+    val words = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    if (words.length < k) Seq.empty
+    else words.sliding(k).map(_.mkString(" ")).zipWithIndex.map(_.swap).toSeq
+  }
+
+  test("spanWindows: every k-token occurrence with position (repeats, whitespace runs, short docs)") {
+    val cases = Seq(
+      (1L, "a b c d e"),            // 3 windows at k=3
+      (2L, "a b c a b c a b c"),    // within-doc repeats: 'a b c' at 0,3,6
+      (3L, "  x   y\tz  "),         // \s+ runs + trim
+      (4L, "one two"),              // shorter than k → none
+      (5L, ""))                     // empty → none
+    val df = cases.toDF("doc_id", "text")
+    val got = Dedup.spanWindows(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    for ((id, t) <- cases)
+      assert(got.getOrElse(id, Seq.empty) == localWindows(t, 3), s"doc $id '$t'")
+    assert(got(2L).count(_._2 == "a b c") == 3)
+  }
+
+  test("duplicatedSpans: occurrences of corpus-repeated windows, bounded postings (no corpus broadcast)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta one two"),
+      (2L, "zz alpha beta gamma delta yy"),   // shares 'alpha beta gamma'+'beta gamma delta' with 1
+      (3L, "p q r s t u v w"),                // unique
+      (4L, "m m m m m m")).toDF("id", "text") // within-doc repeated window
+    val spans = Dedup.duplicatedSpans(df, "id", "text", 3)
+    val got = spans.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // cross-doc: 'alpha beta gamma' (doc1@0, doc2@1), 'beta gamma delta' (doc1@1, doc2@2)
+    assert(got.contains((1L, 0, 2L)) && got.contains((2L, 1, 2L)))
+    assert(got.contains((1L, 1, 2L)) && got.contains((2L, 2, 2L)))
+    // within-doc: 'm m m' occurs 4 times in doc 4 alone
+    assert(got.filter(_._1 == 4L).map(_._2) == Set(0, 1, 2, 3))
+    assert(got.filter(_._1 == 4L).forall(_._3 == 4L))
+    assert(!got.exists(_._1 == 3L))
+    // the plan never hints a corpus-dependent broadcast and uses bounded postings
+    val plan = spans.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), "no broadcast hint in duplicatedSpans")
+    assert(plan.contains("bounded_collect"), "bounded posting aggregate expected")
+  }
+
+  test("duplicatedSpans: a span hotter than maxOcc saturates and is dropped, cold spans survive") {
+    val hot = (1 to 50).map(i => (i.toLong, s"same same same tail$i a b"))
+    val cold = Seq((101L, "cold span here x1 y1"), (102L, "qq cold span here y2"))
+    val df = (hot ++ cold).toDF("id", "text")
+    val got = Dedup.duplicatedSpans(df, "id", "text", 3, minDup = 2, maxOcc = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((101L, 0), (102L, 1)), s"got $got") // 'cold span here'
+  }
+
+  test("spanDupStats: per-doc totals off the scan, zero for clean docs") {
+    val df = Seq(
+      (1L, "a b c d e"),     // 3 windows, 0 dup
+      (2L, "x y z x y z x"), // 5 windows, 'x y z'@0,3 + 'y z x'@1,4 dup → 4
+      (3L, "t u")).toDF("id", "text") // 0 windows
+    val got = Dedup.spanDupStats(df, "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 0L), 2L -> (5L, 4L), 3L -> (0L, 0L)))
+  }
+
+  test("decontaminate: benchmark k-gram hits per corpus doc via broadcast semi-join") {
+    val bench = Seq((100L, "the eval question text here")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix the eval question text here suffix"), // 3 overlapping 5-gram hits? no: k=5 windows of bench = 1
+      (2L, "clean document nothing shared at all"),
+      (3L, "the eval question text here")).toDF("id", "text") // exact copy
+    val got = Dedup.decontaminate(corpus, bench, "id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench has exactly one 5-gram; doc1 contains it once, doc3 once
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+    val phys = Dedup.decontaminate(corpus, bench, "id", "text", 5)
+      .queryExecution.sparkPlan.toString
+    assert(phys.contains("BroadcastExchange") || phys.contains("Broadcast"),
+      "benchmark side must broadcast")
+  }
 }

@@ -1,0 +1,82 @@
+package graft.sample
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def localMd5Hex8(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString.substring(0, 8)
+  }
+
+  test("thresholdHex: 8-hex floor(rate*2^32), 'g' above all hex at rate>=1") {
+    assert(Sampling.thresholdHex(0.0) == "00000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(1.0) == "g")
+    assert(Sampling.thresholdHex(2.0) == "g")
+    // 'g' really is above every md5 prefix (hex is 0-9a-f < 'g')
+    assert("ffffffff" < "g" && "00000000" < "g")
+    intercept[IllegalArgumentException](Sampling.thresholdHex(-0.1))
+  }
+
+  test("mixtureKeep matches a local replay of the lexicographic md5 contract") {
+    val rates = Map("en" -> 0.5, "de" -> 0.9, "zh" -> 0.25)
+    val default = 0.75
+    val rows = (0L until 500L).map(i =>
+      (i, Seq("en", "de", "zh", "es")((i % 4).toInt)))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = df.filter(Sampling.mixtureKeep(col("doc_id"), col("lang"), rates, default))
+      .select("doc_id").as[Long].collect().toSet
+    val expected = rows.filter { case (id, lang) =>
+      localMd5Hex8(id.toString) < Sampling.thresholdHex(rates.getOrElse(lang, default))
+    }.map(_._1).toSet
+    assert(kept == expected)
+    // deterministic: a rerun keeps the identical row set
+    val again = Sampling.mixtureSample(df, "doc_id", "lang", rates, default)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    // rates land near targets (2^-32 resolution, 125 rows/group → ±coarse)
+    val perLang = df.filter(Sampling.mixtureKeep(col("doc_id"), col("lang"), rates, default))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang("zh").toDouble / 125 < 0.45 && perLang("de").toDouble / 125 > 0.7)
+  }
+
+  test("rate edge cases: 0 keeps nothing, >=1 keeps everything") {
+    val df = (0L until 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+    assert(Sampling.mixtureSample(df, "doc_id", "lang", Map("en" -> 0.0)).count() == 0)
+    assert(Sampling.mixtureSample(df, "doc_id", "lang", Map("en" -> 1.0)).count() == 100)
+    assert(Sampling.mixtureSample(df, "doc_id", "lang", Map.empty, default = 1.0).count() == 100)
+  }
+
+  test("contentSplit: duplicated content lands on one side (no train/val leakage)") {
+    val df = Seq(
+      (1L, "the same document text"),
+      (2L, "the same document text"), // exact copy of 1
+      (3L, "a different document")).toDF("doc_id", "text")
+    val split = df.select(col("doc_id"),
+      Sampling.contentSplit(col("text"), 0.2).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split(1L) == split(2L), "copies must share a split")
+    assert(Set("train", "val").contains(split(3L)))
+    // boundary semantics: top valFrac of hash space is val
+    val frac = (0L until 2000L).map(i => Tuple1(s"doc $i")).toDF("text")
+      .select(Sampling.contentSplit(col("text"), 0.2).as("s"))
+      .filter(col("s") === "val").count().toDouble / 2000
+    assert(frac > 0.15 && frac < 0.25, s"val fraction $frac far from 0.2")
+  }
+
+  test("the keep-predicate is a pure projection: no shuffle, no RNG, survives any partitioning") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val sampled = Sampling.mixtureSample(df, "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.5))
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"),
+      "sampling must not shuffle")
+    val a = sampled.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(df.repartition(13), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "verdicts must not depend on partitioning")
+  }
+}
