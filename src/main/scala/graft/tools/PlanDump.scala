@@ -39,6 +39,13 @@ object PlanDump {
     dump("q_chunk_windows", graft.queries.QueriesR5.qChunkWindows(s, dir))
     dump("q_multimodal_resize", graft.queries.QueriesR5.qMultimodalResize(s, dir))
     dump("q_ann_ivf_trained", graft.queries.QueriesR5.qAnnIvfTrained(s, dir))
+    // span dedup must be the bounded-posting shape (scan → explode →
+    // hash/text agg → explode → per-doc agg, no corpus broadcast);
+    // decontaminate must broadcast ONLY the benchmark gram side;
+    // mix_sample must be a pure predicate + one agg (no extra Exchange)
+    dump("q_span_dedup", graft.queries.QueriesR5.qSpanDedup(s, dir))
+    dump("q_decontaminate", graft.queries.QueriesR5.qDecontaminate(s, dir))
+    dump("q_mix_sample", graft.queries.QueriesR5.qMixSample(s, dir))
     s.stop()
   }
 }
