@@ -49,6 +49,8 @@ object SparkEntry {
       "q_span_dedup" -> (graft.queries.QueriesR5.qSpanDedup _),
       "q_decontaminate" -> (graft.queries.QueriesR5.qDecontaminate _),
       "q_mix_sample" -> (graft.queries.QueriesR5.qMixSample _),
+      "q_tfidf" -> (graft.queries.QueriesR5.qTfidf _),
+      "q_semdedup" -> (graft.queries.QueriesR5.qSemDedup _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -107,6 +109,8 @@ object SparkEntry {
       "q_span_dedup" -> graft.queries.QueriesR5.qSpanDedupSql,
       "q_decontaminate" -> graft.queries.QueriesR5.qDecontaminateSql,
       "q_mix_sample" -> graft.queries.QueriesR5.qMixSampleSql,
+      "q_tfidf" -> graft.queries.QueriesR5.qTfidfSql,
+      "q_semdedup" -> graft.queries.QueriesR5.qSemDedupSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

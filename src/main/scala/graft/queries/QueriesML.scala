@@ -199,7 +199,7 @@ object QueriesML {
   // honest scale demo is a high-threshold dedup corpus, not a low
   // threshold over background pairs.)
   // ---------------------------------------------------------------
-  private val EmbedCopyIdOffset = 100000L
+  private[queries] val EmbedCopyIdOffset = 100000L
   def embedDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -335,4 +335,82 @@ object QueriesR5 {
        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // tf-idf term statistics: top-3 salient terms per doc over the
+  // (tf, df, N) lattice. The driver-checked ranking is the INTEGER
+  // proxy (tf desc, df asc, term asc) — deterministic cross-engine for
+  // the same reason k-means quantizes; TextAnalysis.tfidfTopTerms ranks
+  // by the real float tf-idf in-engine (ScalaTest-checked against a
+  // local reference — one engine, one libm, no cross-engine float
+  // ordering to defend).
+  // ---------------------------------------------------------------
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val stats = TextAnalysis.termStats(tbl(spark, dir, "documents"), "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    stats.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("id").as("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("n_docs"))
+      .orderBy("doc_id", "rank")
+  }
+  val qTfidfSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rank
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, rank, term, tf, df,
+      |  (SELECT count(*) FROM documents) AS n_docs
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023): near-dup removal WITHIN trained
+  // k-means clusters — centroids trained on the base embeddings via the
+  // identical e6-integer chain the q_kmeans oracle unrolls
+  // (QueriesR4.kmeansCteChain), the dedup corpus is the planted
+  // 1.5×-copy corpus of q_embed_neardup (cosine scale-invariance puts
+  // every copy in its original's cluster at sim 1.0), and the oracle
+  // replays training + assignment + within-cluster pairing with the
+  // contractual dot/(√·√) cosine.
+  // ---------------------------------------------------------------
+  val SemDedupThreshold = 0.99
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = graft.sim.Ann.kmeansCentroids(tbl(spark, dir, "embeddings"),
+      k = QueriesR4.KmeansK, iters = QueriesR4.KmeansIters, dim = 64)
+    graft.sim.Ann.semDedup(QueriesML.embedDedupCorpus(spark, dir), cents,
+        threshold = SemDedupThreshold)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("dup_of"), col("sim"))
+      .orderBy("vec_id")
+  }
+  val qSemDedupSql: String = {
+    import QueriesR4.{cos, kmeansCteChain}
+    s"""WITH $kmeansCteChain,
+       |corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + ${QueriesML.EmbedCopyIdOffset},
+       |    list_transform(embedding::DOUBLE[], x -> x * 1.5)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |asg AS (SELECT vec_id, v, cent FROM (
+       |   SELECT corpus.vec_id, corpus.v, c.cent,
+       |     row_number() OVER (PARTITION BY corpus.vec_id ORDER BY
+       |       ${cos("corpus.v", "list_transform(c.cs, x -> x::DOUBLE)")} DESC,
+       |       c.cent) AS rk
+       |   FROM corpus CROSS JOIN c2 c) WHERE rk = 1),
+       |pairs AS (
+       |  SELECT b.vec_id, b.cent AS cluster, a.vec_id AS aid,
+       |    ${cos("a.v", "b.v")} AS sim
+       |  FROM asg a JOIN asg b ON a.cent = b.cent AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.v", "b.v")} >= $SemDedupThreshold)
+       |SELECT vec_id, cluster, min(aid) AS dup_of,
+       |  round(min_by(sim, aid), 4) AS sim
+       |FROM pairs GROUP BY vec_id, cluster ORDER BY vec_id""".stripMargin
+  }
 }

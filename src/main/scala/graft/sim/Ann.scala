@@ -398,6 +398,39 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.withColumn("cluster",
       element_at(kmeansCells(col(vecCol), cents, 1), 1).cast("int"))
+
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    * WITHIN k-means clusters — the corpus-wide O(n²) pair search becomes
+    * O(Σ m_c²) inside clusters (the paper's point: k ≈ √n makes the
+    * expected total linear-ish), and this engine's cluster id is the
+    * zero-shuffle fused argmax, so the only data exchange is the
+    * per-cluster self-join's hash partition on the cluster key. Skewed
+    * clusters stay visible in that one exchange; re-train with larger k
+    * (or recurse into a hot cluster) rather than salting — cluster size
+    * IS the algorithm's knob.
+    *
+    * Drop rule (the deterministic analog of the paper's keep-one-per-
+    * ε-ball greedy): a vector is dropped iff some LOWER-id cluster-mate
+    * is ≥ `threshold` cosine-similar; `dup_of` reports the lowest such
+    * id. Returns the drop list `(vec_id, cluster, dup_of, sim)` with
+    * `sim` the cosine against `dup_of`, rounded to 4. Survivors =
+    * corpus anti-join on the drop list.
+    */
+  def semDedup(df: DataFrame, cents: Array[Array[Long]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(df, cents, idCol, vecCol)
+      .select(col("cluster"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("sim", CosineSim(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      // min over (id, sim) structs = row of the lowest id (ids unique)
+      .groupBy(col("b.cluster").as("cluster"), col("b.id").as(idCol))
+      .agg(min(struct(col("a.id").as("id"), col("sim").as("sim"))).as("m"))
+      .select(col(idCol), col("cluster"),
+        col("m.id").as("dup_of"), round(col("m.sim"), 4).as("sim"))
+  }
 }
 
 /** The `nprobe` nearest coarse cells for a vector, by cosine (ties → lower

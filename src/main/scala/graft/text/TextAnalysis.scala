@@ -177,6 +177,51 @@ object TextAnalysis {
       array_join(slice(words, s + 1, lit(window)), " ").as("chunk_text")))
   }
 
+  /** Corpus term statistics — the tf/df/N primitive behind tf-idf: one
+    * row per (doc, term) with term frequency, document frequency and
+    * the corpus doc count. Terms are lowercased `\s+` tokens. The
+    * corpus is scanned ONCE: df derives from the tf relation (a term's
+    * df = its tf-row count), then rides back onto tf rows via a
+    * key-partitioned join of two already-aggregated sides — the
+    * vocabulary grows with the corpus, so it is never broadcast.
+    * `knownCount` skips the N job when the caller already knows the
+    * corpus size (the `Ann.lshNearDupPairs` contract); otherwise one
+    * count-only scan (columnless — parquet row-group metadata).
+    */
+  def termStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, knownCount: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val n = knownCount.getOrElse(df.count())
+    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val tf = df.select(col(idCol).as("id"), explode(words).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        lit(n).as("n_docs"))
+  }
+
+  /** Top-k salient terms per doc by smoothed tf-idf
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn form — never negative,
+    * defined at df = N). Ties break on term asc, so the ranking is a
+    * total order. Float scores are engine-internal (one engine, one
+    * libm — deterministic here); a cross-engine oracle should compare
+    * the integer lattice from [[termStats]] instead, the same reason
+    * k-means quantizes (see `q_tfidf`).
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, knownCount: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("tfidf").desc, col("term").asc)
+    termStats(df, idCol, textCol, knownCount)
+      .withColumn("tfidf", col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens — order-
     * sensitive (unlike a bag-of-words hash), cheap, and reproducible in
     * ANSI SQL (`list_reduce`): fp = fold(tokens, 7, acc·31 + len(w)·17 +

@@ -275,4 +275,45 @@ class AnnSpec extends SparkTestBase {
       assert(math.abs(s - want) < 1e-9)
     }
   }
+
+  test("semDedup equals a local within-cluster reference on the planted corpus") {
+    val corpus = graft.queries.QueriesML.embedDedupCorpus(spark, dir)
+    val cents = Ann.kmeansCentroids(emb, k = 4, iters = 2, dim = 64)
+    // local reference: take the engine's (already-tested) cluster
+    // assignment as ground truth, then replay the drop rule locally
+    val assigned = Ann.kmeansAssign(corpus, cents)
+      .select(col("vec_id"), col("cluster"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val byCluster = assigned.groupBy(_._2)
+    val want = (for {
+      (cl, members) <- byCluster.toSeq
+      (id, _, v) <- members
+      lower = members.filter(m => m._1 < id && cos(m._3, v) >= 0.99)
+      if lower.nonEmpty
+      m = lower.minBy(_._1)
+    } yield id -> (cl, m._1, math.rint(cos(m._3, v) * 10000) / 10000)).toMap
+
+    val got = Ann.semDedup(corpus, cents, threshold = 0.99).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want)
+    // the planted 1.5x copies all land in their original's cluster
+    // (cosine is scale-invariant) and are dropped at sim 1.0
+    val offset = 100000L
+    val copies = assigned.map(_._1).filter(_ >= offset)
+    assert(copies.nonEmpty)
+    for (c <- copies) {
+      assert(got.contains(c), s"copy $c not dropped")
+      assert(got(c)._3 == 1.0, s"copy $c sim")
+    }
+  }
+
+  test("semDedup plan: per-cluster self-join is an equi-join on the cluster key, no cartesian") {
+    val corpus = graft.queries.QueriesML.embedDedupCorpus(spark, dir)
+    val cents = Ann.kmeansCentroids(emb, k = 4, iters = 2, dim = 64)
+    val plan = Ann.semDedup(corpus, cents, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+    assert(!plan.contains("BroadcastNestedLoop"), "no nested-loop join")
+  }
 }

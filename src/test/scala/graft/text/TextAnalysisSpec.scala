@@ -97,4 +97,60 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(chunks("", 4, 3).isEmpty)
     intercept[IllegalArgumentException](chunks("x", 3, 4)) // stride > window
   }
+
+  private val tfidfCorpus = Seq(
+    1L -> "the cat sat on the mat",
+    2L -> "the dog sat",
+    3L -> "cat cat cat dog",
+    4L -> "  ", // blank doc still counts toward N, contributes no terms
+    5L -> "unique")
+
+  test("termStats matches a local tf/df/N computation") {
+    val df = tfidfCorpus.toDF("doc_id", "text")
+    val got = TextAnalysis.termStats(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = tfidfCorpus.toMap.view
+      .mapValues(_.trim).filter(_._2.nonEmpty)
+      .mapValues(_.split("\\s+").map(_.toLowerCase).toSeq).toMap
+    val tf = docs.toSeq.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong } }.toMap
+    val dfreq = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet == tf.keySet)
+    for (((id, w), (gTf, gDf, gN)) <- got) {
+      assert(gTf == tf((id, w)), s"tf($id,$w)")
+      assert(gDf == dfreq(w), s"df($w)")
+      assert(gN == 5L, "N counts blank docs too")
+    }
+  }
+
+  test("tfidfTopTerms ranks by smoothed tf-idf, ties on term asc, k capped") {
+    val df = tfidfCorpus.toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.groupBy(_._1).values.forall(_.length <= 2))
+    // doc 3: "cat"×3 (df 2) beats "dog"×1 (df 2)
+    val d3 = got.filter(_._1 == 3L).sortBy(_._2).map(_._3)
+    assert(d3.toSeq == Seq("cat", "dog"))
+    // score formula: tf * (ln((N+1)/(df+1)) + 1), rounded to 4
+    for ((_, _, _, tf, dfq, s) <- got) {
+      val want = math.rint(tf * (math.log(6.0 / (dfq + 1)) + 1) * 10000) / 10000
+      assert(math.abs(s - want) < 1e-9)
+    }
+    // blank doc contributes no rows
+    assert(!got.exists(_._1 == 4L))
+    // knownCount short-circuits the count job but yields identical rows
+    val got2 = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2,
+      knownCount = Some(5L)).collect().map(_.toSeq).toSet
+    assert(got2 == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5, t._6)).toSet)
+  }
+
+  test("termStats plan: vocabulary joins back as an equi-join, no cartesian") {
+    val df = tfidfCorpus.toDF("doc_id", "text")
+    val plan = TextAnalysis.termStats(df, "doc_id", "text", knownCount = Some(5L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), "no cartesian")
+    assert(!plan.contains("CartesianProduct"), "no cartesian")
+  }
 }
