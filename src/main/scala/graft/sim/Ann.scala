@@ -393,11 +393,21 @@ object Ann {
   /** Corpus with its final k-means cluster id — one fused argmax per row,
     * no shuffle (the shape semantic dedup builds on: near-dup search
     * within a cluster instead of across the corpus).
+    *
+    * The coalesce(-1) pins the column NON-NULLABLE: when `cluster` is a
+    * join key (semDedup's per-cluster self-join), Catalyst otherwise
+    * infers an IsNotNull filter whose pushed-down predicate re-evaluates
+    * the whole k×dim argmax a second time per row (filter and project
+    * are separate operators — codegen CSE does not unify across them).
+    * The sentinel is unreachable for non-null vectors (NearestCells
+    * always returns nprobe cells); a NULL vector lands in cluster −1,
+    * where any downstream cosine against it is NULL and filters false.
     */
   def kmeansAssign(df: DataFrame, cents: Array[Array[Long]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     df.withColumn("cluster",
-      element_at(kmeansCells(col(vecCol), cents, 1), 1).cast("int"))
+      coalesce(element_at(kmeansCells(col(vecCol), cents, 1), 1).cast("int"),
+        lit(-1)))
 
   /** SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
     * WITHIN k-means clusters — the corpus-wide O(n²) pair search becomes

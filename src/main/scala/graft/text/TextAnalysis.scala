@@ -195,7 +195,17 @@ object TextAnalysis {
       .otherwise(split(lower(trim(col(textCol))), "\\s+"))
     val tf = df.select(col(idCol).as("id"), explode(words).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df = count(CASE WHEN tf > 0 THEN tf END), not count(*): tf = count(*)
+    // is always ≥ 1 so the value is identical, but a count over a
+    // conditionally-null use of tf is one Catalyst cannot fold away —
+    // a plain count(*) (or count(tf): non-null counts rewrite to count(1))
+    // lets the optimizer collapse this branch to a DISTINCT whose exchange
+    // no longer canonically matches tf's, and the corpus gets scanned
+    // TWICE; with tf genuinely referenced the subtrees match and
+    // ReuseExchange dedupes: ONE scan, one (id,term) shuffle, the df
+    // branch resumes from the reused exchange
+    val dfreq = tf.groupBy("term")
+      .agg(count(when(col("tf") > 0, col("tf"))).as("df"))
     tf.join(dfreq, "term")
       .select(col("id"), col("term"), col("tf"), col("df"),
         lit(n).as("n_docs"))

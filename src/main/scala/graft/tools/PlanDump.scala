@@ -46,6 +46,13 @@ object PlanDump {
     dump("q_span_dedup", graft.queries.QueriesR5.qSpanDedup(s, dir))
     dump("q_decontaminate", graft.queries.QueriesR5.qDecontaminate(s, dir))
     dump("q_mix_sample", graft.queries.QueriesR5.qMixSample(s, dir))
+    // tfidf must be ONE scan: explode → (id,term) agg → term agg joined
+    // back key-partitioned (NO broadcast of the vocabulary — it grows
+    // with the corpus); semdedup must be zero-Exchange fused-argmax
+    // assignment, then ONE hash-partition on the cluster key feeding the
+    // per-cluster equi self-join (no cartesian, no nested loop)
+    dump("q_tfidf", graft.queries.QueriesR5.qTfidf(s, dir))
+    dump("q_semdedup", graft.queries.QueriesR5.qSemDedup(s, dir))
     s.stop()
   }
 }

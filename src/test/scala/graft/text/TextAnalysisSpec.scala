@@ -146,11 +146,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got2 == got.map(t => Seq(t._1, t._2, t._3, t._4, t._5, t._6)).toSet)
   }
 
-  test("termStats plan: vocabulary joins back as an equi-join, no cartesian") {
-    val df = tfidfCorpus.toDF("doc_id", "text")
-    val plan = TextAnalysis.termStats(df, "doc_id", "text", knownCount = Some(5L))
-      .queryExecution.executedPlan.toString
+  test("termStats plan: ONE corpus scan (df branch reuses the tf exchange), no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = TextAnalysis.termStats(docs, "doc_id", "text", knownCount = Some(500L))
+    stats.collect() // materialize so the AQE final plan is in place
+    val plan = stats.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), "no cartesian")
     assert(!plan.contains("CartesianProduct"), "no cartesian")
+    // the df branch must resume from tf's (id,term) exchange, not
+    // re-scan + re-tokenize the corpus (the count(CASE...) guard in
+    // termStats exists exactly to keep the subtrees canonically equal)
+    assert(plan.contains("ReusedExchange"), "df branch reuses the tf exchange")
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
+      "corpus scanned exactly once in the final plan")
   }
 }
