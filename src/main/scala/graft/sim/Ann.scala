@@ -431,10 +431,17 @@ object Ann {
     val assigned = kmeansAssign(df, cents, idCol, vecCol)
       .select(col("cluster"), col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
+    // the threshold lives IN the join condition, after the id ordering:
+    // a post-join filter gets pushed into the condition ANDed FIRST, so
+    // the O(dim) cosine would run for both (a,b) and (b,a) of every
+    // cluster pair; codegen's short-circuit And evaluates the cheap
+    // id comparison first this way, halving the cosine evaluations.
+    // Survivors re-evaluate CosineSim once in the projection — they are
+    // a vanishing fraction of the candidate pairs.
     assigned.as("a").join(assigned.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id")
+          && CosineSim(col("a.v"), col("b.v")) >= threshold)
       .withColumn("sim", CosineSim(col("a.v"), col("b.v")))
-      .filter(col("sim") >= threshold)
       // min over (id, sim) structs = row of the lowest id (ids unique)
       .groupBy(col("b.cluster").as("cluster"), col("b.id").as(idCol))
       .agg(min(struct(col("a.id").as("id"), col("sim").as("sim"))).as("m"))
