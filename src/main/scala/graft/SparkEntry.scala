@@ -51,6 +51,8 @@ object SparkEntry {
       "q_mix_sample" -> (graft.queries.QueriesR5.qMixSample _),
       "q_tfidf" -> (graft.queries.QueriesR5.qTfidf _),
       "q_semdedup" -> (graft.queries.QueriesR5.qSemDedup _),
+      "q_text_normalize" -> (graft.queries.QueriesR5.qTextNormalize _),
+      "q_doc_repetition" -> (graft.queries.QueriesR5.qDocRepetition _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -111,6 +113,8 @@ object SparkEntry {
       "q_mix_sample" -> graft.queries.QueriesR5.qMixSampleSql,
       "q_tfidf" -> graft.queries.QueriesR5.qTfidfSql,
       "q_semdedup" -> graft.queries.QueriesR5.qSemDedupSql,
+      "q_text_normalize" -> graft.queries.QueriesR5.qTextNormalizeSql,
+      "q_doc_repetition" -> graft.queries.QueriesR5.qDocRepetitionSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

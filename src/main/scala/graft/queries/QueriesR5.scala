@@ -413,4 +413,74 @@ object QueriesR5 {
        |  round(min_by(sim, aid), 4) AS sim
        |FROM pairs GROUP BY vec_id, cluster ORDER BY vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Canonical text cleanup (NFC + control strip + whitespace collapse):
+  // the shipped documents are already NFC and single-spaced, so the
+  // query MANGLES them deterministically first — a combining acute after
+  // every 'e' (composed back by NFC), a C0 control + double space at
+  // each end (stripped/collapsed/trimmed) — and both engines normalize
+  // the identical mangled input. Exercises the real composition path of
+  // graft.functions.NfcNormalize cross-engine, not just the
+  // already-normalized fast path. Codepoint counts before/after pin the
+  // length semantics (Spark length == DuckDB len == codepoints).
+  // ---------------------------------------------------------------
+  def qTextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = concat(lit("\u0001 "),
+      regexp_replace(col("text"), "e", "e\u0301"), lit("  x\u0007"))
+    val clean = TextAnalysis.cleanText(mangled)
+    tbl(spark, dir, "documents").select(col("doc_id"),
+        length(mangled).cast("long").as("n_chars_raw"),
+        clean.as("clean_text"),
+        length(clean).cast("long").as("n_chars_clean"))
+      .orderBy("doc_id")
+  }
+  val qTextNormalizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, chr(1) || ' ' || replace(text, 'e', 'e' || chr(769))
+      |    || '  x' || chr(7) AS raw
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, raw,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |      '\s+', ' ', 'g')) AS clean_text
+      |  FROM m)
+      |SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_chars_raw, clean_text,
+      |  CAST(len(clean_text) AS BIGINT) AS n_chars_clean
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Within-document repetition signals (Gopher family) as a pure
+  // integer lattice + integer-cross-multiplied keep rule — zero shuffle
+  // at any corpus size (per-row array arithmetic only).
+  // ---------------------------------------------------------------
+  def qDocRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val stats = TextAnalysis.repetitionStats(
+      tbl(spark, dir, "documents"), "doc_id", "text")
+    stats.select(col("id").as("doc_id"), col("n_words"),
+        col("n_distinct_words"), col("n_bigrams"), col("n_distinct_bigrams"),
+        TextAnalysis.repetitionKeep(col("n_words"), col("n_distinct_words"),
+          col("n_bigrams"), col("n_distinct_bigrams")).as("keep"))
+      .orderBy("doc_id")
+  }
+  val qDocRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS words
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, words,
+      |    [words[i] || ' ' || words[i+1] FOR i IN range(1, len(words))] AS bigrams
+      |  FROM w)
+      |SELECT doc_id,
+      |  CAST(len(words) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+      |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+      |  ((len(words) = 0 OR len(list_distinct(words)) * 10 >= len(words) * 3)
+      |   AND (len(bigrams) = 0
+      |        OR len(list_distinct(bigrams)) * 10 >= len(bigrams) * 2)) AS keep
+      |FROM b ORDER BY doc_id""".stripMargin
 }

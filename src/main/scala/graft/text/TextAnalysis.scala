@@ -232,6 +232,60 @@ object TextAnalysis {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Canonical text cleanup for ingest: Unicode NFC composition
+    * ([[graft.functions.NfcNormalize]], codegen'd), then strip C0/DEL
+    * control characters EXCEPT tab/newline/CR (spelled as explicit byte
+    * ranges — Java and RE2 read the class identically, unlike `\p{Cc}`
+    * set algebra), then collapse whitespace runs to one space, then trim.
+    * Order matters and is part of the contract: NFC first (composition
+    * can only shrink), controls stripped before the `\s+` collapse so
+    * the Java-vs-RE2 `\s` divergence on `\x0B` can never be observed
+    * (`\x0B` is gone by then). Pure Column chain — zero shuffle.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "\\s+", " "))
+
+  /** Within-document repetition signals (the Gopher repetition family,
+    * Rae et al. 2021 §A1.1) as a PURE INTEGER lattice — word and
+    * word-2-gram totals and distincts — so the cross-engine comparison
+    * is exact (fractions are one division away for the caller; the
+    * keep-rule below cross-multiplies instead of dividing). Entirely
+    * per-row array arithmetic: zero shuffle at any corpus size.
+    *
+    * Bigrams via `zip_with(words, slice(words, 2, size), concat)`:
+    * zip_with pads the shorter side with NULL and `concat` propagates
+    * it, so the dangling last pair drops in the `filter` — no
+    * `sequence(1, size-1)` (which would COUNT DOWN for single-word
+    * docs: Spark's sequence auto-steps toward the stop).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val bigrams = filter(
+      zip_with(words, slice(words, lit(2), size(words)),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    df.select(col(idCol).as("id"),
+      size(words).cast("long").as("n_words"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+  }
+
+  /** Gopher-style repetition keep-rule over [[repetitionStats]] columns:
+    * distinct-word fraction ≥ 0.3 AND (no bigrams OR distinct-bigram
+    * fraction ≥ 0.2), spelled as integer cross-multiplications — no
+    * float division to defend cross-engine.
+    */
+  def repetitionKeep(nWords: Column, nDistinctWords: Column,
+      nBigrams: Column, nDistinctBigrams: Column): Column =
+    (nWords === 0 || nDistinctWords * 10 >= nWords * 3) &&
+      (nBigrams === 0 || nDistinctBigrams * 10 >= nBigrams * 2)
+
   /** Rolling polynomial fingerprint over whitespace tokens — order-
     * sensitive (unlike a bag-of-words hash), cheap, and reproducible in
     * ANSI SQL (`list_reduce`): fp = fold(tokens, 7, acc·31 + len(w)·17 +

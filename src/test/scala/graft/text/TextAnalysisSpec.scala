@@ -162,4 +162,54 @@ class TextAnalysisSpec extends SparkTestBase {
     assert("FileScan parquet".r.findAllIn(finalPlan).length == 1,
       "corpus scanned exactly once in the final plan")
   }
+  test("cleanText: NFC composition, control strip, whitespace collapse, trim") {
+    // decomposed e+acute composes; \u0001/\u0007 stripped; runs collapse
+    val raw = "\u0001 xe\u0301  y\tz \u0007 "
+    assert(one(raw, TextAnalysis.cleanText($"text")) == "x\u00E9 y z")
+    // tab/newline/CR are WHITESPACE (collapsed), not stripped as controls
+    assert(one("a\tb\nc\rd", TextAnalysis.cleanText($"text")) == "a b c d")
+    // vertical tab \u000B is a stripped control, never reaches \s+ --
+    // the Java-vs-RE2 \s divergence on \x0B is unobservable by design
+    assert(one("a\u000Bb", TextAnalysis.cleanText($"text")) == "ab")
+    assert(one("", TextAnalysis.cleanText($"text")) == "")
+    assert(one("  already clean  ", TextAnalysis.cleanText($"text")) == "already clean")
+  }
+
+  test("repetitionStats: integer lattice matches a local reference") {
+    def local(text: String): (Long, Long, Long, Long) = {
+      val t = text.trim.toLowerCase
+      val ws = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
+      (ws.length.toLong, ws.distinct.length.toLong,
+        bg.length.toLong, bg.distinct.length.toLong)
+    }
+    val docs = Seq(
+      (0L, "a b a b a b"),        // heavy bigram repetition
+      (1L, "w x y z"),            // all distinct
+      (2L, "solo"),               // one word, zero bigrams
+      (3L, ""),                   // empty
+      (4L, "Dup dup DUP"))        // case-folded word repetition
+    val got = TextAnalysis.repetitionStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == local(text), s"doc $id: '$text'")
+    // lattice spot values
+    assert(got(0L) == ((6L, 2L, 5L, 2L)))
+    assert(got(2L) == ((1L, 1L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("repetitionKeep: integer cross-multiplied thresholds") {
+    def keep(n: Long, nd: Long, nb: Long, ndb: Long): Boolean =
+      Seq((n, nd, nb, ndb)).toDF("n", "nd", "nb", "ndb")
+        .select(TextAnalysis.repetitionKeep($"n", $"nd", $"nb", $"ndb"))
+        .collect()(0).getBoolean(0)
+    assert(keep(10, 3, 9, 2))    // exactly at both thresholds (>= holds)
+    assert(!keep(10, 2, 9, 9))   // distinct words below 30%
+    assert(!keep(10, 10, 10, 1)) // distinct bigrams below 20%
+    assert(keep(0, 0, 0, 0))     // empty doc keeps (no evidence against)
+    assert(keep(1, 1, 0, 0))     // single word, no bigrams
+  }
 }
