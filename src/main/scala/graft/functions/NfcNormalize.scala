@@ -15,11 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * would otherwise carry different md5s through the whole dedup family).
   * Spark has no built-in; a UDF would break whole-stage codegen.
   *
-  * Fast path: `Normalizer.isNormalized` (a scan, no allocation) skips the
-  * normalize-and-copy for already-NFC text — on real corpora the
-  * overwhelmingly common case — so the expression costs one pass over the
-  * bytes unless composition actually fires. The UTF8String round-trips
-  * through java.lang.String only on the slow path.
+  * Two-tier fast path: (1) `isFullAscii` — one branch-free byte scan,
+  * ZERO allocation — returns the input UTF8String untouched (ASCII is
+  * closed under NFC), covering the bulk of log/telemetry text; (2) for
+  * non-ASCII rows, `Normalizer.isNormalized` skips the normalize+
+  * re-encode copies when the text is already composed — the common case
+  * on real corpora — though this tier still pays the one UTF8String →
+  * java.lang.String decode that `isNormalized` needs. Only text that
+  * actually recomposes pays the full normalize + encode.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
@@ -28,6 +31,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val u = input.asInstanceOf[UTF8String]
+    if (u.isFullAscii) return u
     val s = u.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) u
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

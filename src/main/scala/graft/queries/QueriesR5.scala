@@ -467,8 +467,8 @@ object QueriesR5 {
   val qDocRepetitionSql: String =
     """WITH w AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(trim(text)) = 0 THEN []
-      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS words
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> len(x) > 0) AS words
       |  FROM documents),
       |b AS (
       |  SELECT doc_id, words,

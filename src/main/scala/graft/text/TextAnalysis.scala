@@ -263,8 +263,14 @@ object TextAnalysis {
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    // words = non-empty \s+-separated tokens: split + drop-empties, NOT
+    // trim + split. Spark's trim strips only ' ' (U+0020), so a doc
+    // starting with a tab would split to a phantom leading "" token (and
+    // a bogus " x" bigram) under the trim spelling; filtering empties
+    // makes the count exact under ANY leading/trailing whitespace, and
+    // subsumes the empty-text guard (split("") = [""] -> filtered -> [])
+    val words = filter(split(lower(col(textCol)), "\\s+"),
+      w => length(w) > 0)
     val bigrams = filter(
       zip_with(words, slice(words, lit(2), size(words)),
         (a, b) => concat(a, lit(" "), b)),

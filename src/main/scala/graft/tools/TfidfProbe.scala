@@ -24,23 +24,22 @@ object TfidfProbe {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()
 
-    def words = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(col("text"))), "\\s+"))
-    def tf = docs.select(col("doc_id").as("id"), explode(words).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-
     def rankTop3(stats: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("tf").desc, col("df").asc, col("term").asc)
       stats.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
     }
 
-    def joinShape: DataFrame = {
-      val dfreq = tf.groupBy("term")
-        .agg(count(when(col("tf") > 0, col("tf"))).as("df"))
-      rankTop3(tf.join(dfreq, "term").withColumn("n_docs", lit(n)))
-    }
+    // the shipped shape IS TextAnalysis.termStats — call it, don't copy
+    // it, so the probe keeps measuring whatever actually ships
+    def joinShape: DataFrame =
+      rankTop3(graft.text.TextAnalysis.termStats(docs, "doc_id", "text",
+        knownCount = Some(n)))
     def windowShape: DataFrame = {
+      val words = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+        .otherwise(split(lower(trim(col("text"))), "\\s+"))
+      val tf = docs.select(col("doc_id").as("id"), explode(words).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf"))
       val wt = org.apache.spark.sql.expressions.Window.partitionBy("term")
       rankTop3(tf.withColumn("df", count(lit(1)).over(wt))
         .withColumn("n_docs", lit(n)))

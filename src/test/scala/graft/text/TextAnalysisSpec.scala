@@ -177,8 +177,9 @@ class TextAnalysisSpec extends SparkTestBase {
 
   test("repetitionStats: integer lattice matches a local reference") {
     def local(text: String): (Long, Long, Long, Long) = {
-      val t = text.trim.toLowerCase
-      val ws = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      // the contract: non-empty \s+-separated tokens — exact under any
+      // leading/trailing whitespace kind (tab, NL), not just spaces
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
       (ws.length.toLong, ws.distinct.length.toLong,
         bg.length.toLong, bg.distinct.length.toLong)
@@ -188,7 +189,10 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, "w x y z"),            // all distinct
       (2L, "solo"),               // one word, zero bigrams
       (3L, ""),                   // empty
-      (4L, "Dup dup DUP"))        // case-folded word repetition
+      (4L, "Dup dup DUP"),        // case-folded word repetition
+      (5L, "\ta b"),              // tab-led: no phantom "" token
+      (6L, "a b \n"),             // trailing newline: no phantom token
+      (7L, "\t \n"))              // whitespace-only doc = zero words
     val got = TextAnalysis.repetitionStats(
         docs.toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
@@ -199,6 +203,8 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(0L) == ((6L, 2L, 5L, 2L)))
     assert(got(2L) == ((1L, 1L, 0L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((2L, 2L, 1L, 1L)))
+    assert(got(7L) == ((0L, 0L, 0L, 0L)))
   }
 
   test("repetitionKeep: integer cross-multiplied thresholds") {
