@@ -53,6 +53,10 @@ object PlanDump {
     // per-cluster equi self-join (no cartesian, no nested loop)
     dump("q_tfidf", graft.queries.QueriesR5.qTfidf(s, dir))
     dump("q_semdedup", graft.queries.QueriesR5.qSemDedup(s, dir))
+    // normalize/repetition must be pure projections: zero Exchange
+    // before the presentation orderBy
+    dump("q_text_normalize", graft.queries.QueriesR5.qTextNormalize(s, dir))
+    dump("q_doc_repetition", graft.queries.QueriesR5.qDocRepetition(s, dir))
     s.stop()
   }
 }
