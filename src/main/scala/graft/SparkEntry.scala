@@ -53,6 +53,8 @@ object SparkEntry {
       "q_semdedup" -> (graft.queries.QueriesR5.qSemDedup _),
       "q_text_normalize" -> (graft.queries.QueriesR5.qTextNormalize _),
       "q_doc_repetition" -> (graft.queries.QueriesR5.qDocRepetition _),
+      "q_c4_lines" -> (graft.queries.QueriesR5.qC4Lines _),
+      "q_bloom_dedup" -> (graft.queries.QueriesR5.qBloomDedup _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -115,6 +117,8 @@ object SparkEntry {
       "q_semdedup" -> graft.queries.QueriesR5.qSemDedupSql,
       "q_text_normalize" -> graft.queries.QueriesR5.qTextNormalizeSql,
       "q_doc_repetition" -> graft.queries.QueriesR5.qDocRepetitionSql,
+      "q_c4_lines" -> graft.queries.QueriesR5.qC4LinesSql,
+      "q_bloom_dedup" -> graft.queries.QueriesR5.qBloomDedupSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

@@ -461,4 +461,52 @@ object Dedup {
       .join(broadcast(benchGrams), Seq("wtext"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hit_windows"))
   }
+
+  /** Incremental exact dedup: per NEW-batch doc, does its text already
+    * exist byte-identically in the corpus? `(id, n_dups, first_dup,
+    * is_new)` — the daily-ingest-vs-100 TB-corpus membership check.
+    *
+    * Scale shape: the batch (a day's crawl) is orders of magnitude
+    * smaller than the corpus but can still be too large to broadcast as
+    * a join relation. A Bloom filter over the BATCH text-hashes is
+    * bounded by construction (`expectedItems`/`fpp` fix the bit count;
+    * 1M items at 1 % ≈ 1.2 MB) and prunes the corpus DURING its one
+    * scan — `might_contain` runs inside the scan's codegen span, so only
+    * ~|matches| + fpp·|corpus| rows ever reach the verify join's
+    * exchange: shuffle volume is O(batch), not O(corpus). False
+    * positives die in the exact `(hash, text)` equality join, so the
+    * result is exact, and the hash is the leading join key so the
+    * exchange partitions on 8 bytes, never on document text (same rule
+    * as [[exact]]). `expectedItems` is caller-supplied capacity, like
+    * [[graft.sim.Ann]]'s `nlist`: sized to the batch, independent of
+    * corpus size. Spark's own runtime-filter injection only fires on
+    * selective build-side filters it can see; a dedup batch is an
+    * arbitrary table, so the prune is built explicitly.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bf = batch.select(xxhash64(col(textCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val pruned = corpus
+      .filter(EU.column(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType),
+        EU.expression(xxhash64(col(textCol))))))
+      .select(xxhash64(col(textCol)).as("_ch"), col(textCol).as("_ctext"),
+        col(idCol).as("_cid"))
+    batch
+      .select(col(idCol).as("id"), xxhash64(col(textCol)).as("_bh"),
+        col(textCol).as("_btext"))
+      .join(pruned,
+        col("_bh") === col("_ch") && col("_btext") === col("_ctext"), "left")
+      .groupBy("id")
+      .agg(count(col("_cid")).as("n_dups"), min(col("_cid")).as("first_dup"))
+      .withColumn("is_new", col("n_dups") === 0)
+  }
 }

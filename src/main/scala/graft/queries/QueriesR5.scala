@@ -483,4 +483,88 @@ object QueriesR5 {
       |   AND (len(bigrams) = 0
       |        OR len(list_distinct(bigrams)) * 10 >= len(bigrams) * 2)) AS keep
       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // C4 line-level cleanup (Raffel et al. 2020 §2.2): the distinctive
+  // WITHIN-page step the doc-level lattices don't cover. Shipped docs
+  // are single-line, so the query first synthesizes a multi-line page
+  // deterministically (sentence-per-line split plus three planted
+  // boilerplate lines — one per drop-rule: a javascript notice, a
+  // code-brace line, a short no-punctuation menu line) and both engines
+  // clean the identical page. Compared by TEXT EQUALITY on the cleaned
+  // page plus the line counts and the ≥3-kept-lines page verdict.
+  // ---------------------------------------------------------------
+  def qC4Lines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val raw = concat(
+      replace(col("text"), lit(". "), lit(".\n")),
+      lit("\nenable javascript to view this site today." +
+        "\nclick here for our full catalog { listing today." +
+        "\nmenu home about"))
+    TextAnalysis.c4Clean(docs.select(col("doc_id"), raw.as("text")),
+        "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val qC4LinesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, replace(text, '. ', '.' || chr(10)) || chr(10) ||
+       |    'enable javascript to view this site today.' || chr(10) ||
+       |    'click here for our full catalog { listing today.' || chr(10) ||
+       |    'menu home about' AS raw
+       |  FROM documents),
+       |l AS (SELECT doc_id,
+       |    list_transform(string_split(raw, chr(10)), x -> trim(x)) AS lines
+       |  FROM m),
+       |k AS (SELECT doc_id, lines,
+       |    list_filter(lines, t ->
+       |      regexp_matches(t, '[.!?"]$$')
+       |      AND len(list_filter(regexp_split_to_array(t, '\\s+'),
+       |                          w -> len(w) > 0)) >= ${TextAnalysis.C4MinWordsPerLine}
+       |      AND NOT contains(lower(t), 'javascript')
+       |      AND NOT contains(t, '{')
+       |      AND NOT contains(lower(t), 'lorem ipsum')) AS kept
+       |  FROM l)
+       |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |  len(kept) >= ${TextAnalysis.C4MinKeptLines} AS keep,
+       |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Bloom-pruned incremental dedup (new-batch-vs-corpus membership):
+  // the batch is a deterministic "re-crawl" of every 7th doc under new
+  // ids — odd originals get a text edit (genuinely new content, the
+  // bloom's true negatives), even ones are byte-identical (the dups).
+  // The oracle replays the batch synthesis and the exact LEFT-join
+  // verdict; the bloom prune is plan-only (exactness is the verify
+  // join's), asserted in DedupSpec.
+  // ---------------------------------------------------------------
+  val BloomExpectedItems = 4096L
+  def qBloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 1,
+            concat(col("text"), lit(" [recrawl edit]")))
+          .otherwise(col("text")).as("text"))
+    graft.dedup.Dedup.incrementalDedup(docs, batch, "doc_id", "text",
+        expectedItems = BloomExpectedItems)
+      .select(col("id").as("doc_id"), col("n_dups"), col("first_dup"),
+        col("is_new"))
+      .orderBy("doc_id")
+  }
+  val qBloomDedupSql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 9000000 AS id,
+      |    CASE WHEN doc_id % 2 = 1 THEN text || ' [recrawl edit]'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 = 0)
+      |SELECT b.id AS doc_id,
+      |  CAST(count(c.doc_id) AS BIGINT) AS n_dups,
+      |  min(c.doc_id) AS first_dup,
+      |  count(c.doc_id) = 0 AS is_new
+      |FROM batch b LEFT JOIN documents c ON b.text = c.text
+      |GROUP BY b.id ORDER BY doc_id""".stripMargin
 }

@@ -292,6 +292,47 @@ object TextAnalysis {
     (nWords === 0 || nDistinctWords * 10 >= nWords * 3) &&
       (nBigrams === 0 || nDistinctBigrams * 10 >= nBigrams * 2)
 
+  // ---- C4 line-level cleanup (Raffel et al. 2020 §2.2) ----
+  // The doc-level lattices above (gopherQuality, repetitionStats) judge
+  // whole documents; C4's distinctive step is WITHIN-page line filtering
+  // before any doc-level rule runs. Constants are the paper's.
+  val C4MinWordsPerLine = 5
+  val C4MinKeptLines = 3
+
+  /** C4 keep-rule for one (already-trimmed) line: ends in terminal
+    * punctuation, has ≥ [[C4MinWordsPerLine]] whitespace words, and
+    * carries no boilerplate marker (the paper's "javascript" notice,
+    * "lorem ipsum" placeholder, or a code-brace). Pure predicate — the
+    * caller composes it under `filter(lines, …)`, so the whole cleanup
+    * stays one per-row array pass inside codegen.
+    */
+  def c4LineKeep(line: Column): Column = {
+    val words = filter(split(line, "\\s+"), w => length(w) > 0)
+    line.rlike("[.!?\"]$") &&
+      size(words) >= C4MinWordsPerLine &&
+      !lower(line).contains("javascript") &&
+      !line.contains("{") &&
+      !lower(line).contains("lorem ipsum")
+  }
+
+  /** C4 line-level cleanup over a document table: split on newlines,
+    * trim each line, drop lines failing [[c4LineKeep]], rejoin the
+    * survivors; the page keep-verdict is the paper's ≥ 3 retained
+    * "sentences" (kept lines). `(id, n_lines, n_kept_lines, keep,
+    * clean_text)`. Zero shuffle at any corpus size — per-row array
+    * arithmetic only, same scale shape as [[repetitionStats]].
+    */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val kept = filter(lines, l => c4LineKeep(l))
+    df.select(col(idCol).as("id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      (size(kept) >= C4MinKeptLines).as("keep"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Rolling polynomial fingerprint over whitespace tokens — order-
     * sensitive (unlike a bag-of-words hash), cheap, and reproducible in
     * ANSI SQL (`list_reduce`): fp = fold(tokens, 7, acc·31 + len(w)·17 +

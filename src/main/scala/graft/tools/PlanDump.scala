@@ -14,6 +14,11 @@ object PlanDump {
       println(s"########## $name")
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
+    // self-contained: materialise the small transcripts slice if a prior
+    // Bench bootstrap hasn't already (fresh container)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_bench_warm/_SUCCESS")))
+      graft.model.TranscriptGen.generate(s, seed = 1L, nConvs = 3000L, parallelism = 4)
+        .write.mode("overwrite").parquet("/tmp/graft_bench_warm")
     dump("flagship", graft.TranscriptPipeline.run(s, s.read.parquet("/tmp/graft_bench_warm")))
     dump("q_enrich_join", graft.queries.Queries.qEnrichJoin(s, dir))
     dump("q_multiline", graft.queries.Queries.qMultiline(s, dir))
@@ -57,6 +62,12 @@ object PlanDump {
     // before the presentation orderBy
     dump("q_text_normalize", graft.queries.QueriesR5.qTextNormalize(s, dir))
     dump("q_doc_repetition", graft.queries.QueriesR5.qDocRepetition(s, dir))
+    // c4_lines must be a pure projection (zero Exchange before the
+    // presentation orderBy); bloom_dedup must show might_contain ON the
+    // corpus scan's filter (before the verify join's exchanges) and no
+    // broadcast of the corpus side
+    dump("q_c4_lines", graft.queries.QueriesR5.qC4Lines(s, dir))
+    dump("q_bloom_dedup", graft.queries.QueriesR5.qBloomDedup(s, dir))
     s.stop()
   }
 }

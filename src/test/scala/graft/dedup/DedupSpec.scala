@@ -252,4 +252,49 @@ class DedupSpec extends SparkTestBase {
     assert(phys.contains("BroadcastExchange") || phys.contains("Broadcast"),
       "benchmark side must broadcast")
   }
+
+  test("incrementalDedup: exact per-batch verdicts; bloom prune present on the corpus scan") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "alpha beta gamma"), (4L, "eta theta iota")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma"),  // dup of 1 AND 3
+      (101L, "brand new content"), // genuinely new
+      (102L, "eta theta iota")     // dup of 4
+    ).toDF("doc_id", "text")
+    val res = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      expectedItems = 64)
+    val got = res.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (100L, 2L, Some(1L), false),
+      (101L, 0L, None, true),
+      (102L, 1L, Some(4L), false)), s"got $got")
+    // plan shape on a FILE-backed corpus (a local Seq corpus folds the
+    // filter into the LocalRelation at optimize time, hiding it): the
+    // bloom prune must sit on the corpus scan, before the verify join
+    val phys = Dedup.incrementalDedup(docs, batch, "doc_id", "text",
+      expectedItems = 64).queryExecution.sparkPlan.toString
+    assert(phys.contains("might_contain"),
+      "corpus scan must be bloom-pruned before the verify join")
+  }
+
+  test("incrementalDedup: bloom false positives die in the exact verify join") {
+    // deliberately undersized bloom at 50% fpp over 100 items: false
+    // positives are near-certain, the verdicts must not change
+    val corpus = (0L until 500L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 100L).map { i =>
+      (1000L + i,
+        if (i % 2 == 0) s"corpus doc number $i" else s"fresh doc number $i")
+    }.toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        expectedItems = 8, fpp = 0.5)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    for (i <- 0L until 100L) {
+      val expect = if (i % 2 == 0) (1L, Some(i), false) else (0L, None, true)
+      assert(got(1000L + i) == expect, s"batch doc $i")
+    }
+  }
 }

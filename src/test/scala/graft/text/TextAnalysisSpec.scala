@@ -218,4 +218,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(keep(0, 0, 0, 0))     // empty doc keeps (no evidence against)
     assert(keep(1, 1, 0, 0))     // single word, no bigrams
   }
+
+  test("c4Clean: each line drop-rule fires independently; page rule is >=3 kept lines") {
+    val page = Seq(
+      "This sentence has enough words to be kept today.",   // kept
+      "Short line here.",                                   // <5 words
+      "this line has five words ok",                        // no terminal punct
+      "Please enable JavaScript to continue using this.",   // javascript marker
+      "A code sample { return 1; } inside the line today.", // brace
+      "Lorem ipsum dolor sit amet is placeholder text.",    // lorem ipsum
+      "Another proper sentence is retained for the corpus!", // kept (!)
+      "He said \"this quoted line also counts fine\""       // kept (closing ")
+    ).mkString("\n")
+    val df = Seq((1L, page), (2L, "a b.\nc d."), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(df, "doc_id", "text")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(1) == 8 && rows(0).getLong(2) == 3
+      && rows(0).getBoolean(3))
+    assert(rows(0).getString(4) == Seq(
+      "This sentence has enough words to be kept today.",
+      "Another proper sentence is retained for the corpus!",
+      "He said \"this quoted line also counts fine\"").mkString("\n"))
+    // two short lines: counted, none kept, page dropped
+    assert(rows(1).getLong(1) == 2 && rows(1).getLong(2) == 0
+      && !rows(1).getBoolean(3) && rows(1).getString(4) == "")
+    // empty text: split yields one empty line, nothing kept
+    assert(rows(2).getLong(1) == 1 && rows(2).getLong(2) == 0
+      && !rows(2).getBoolean(3))
+    // scale shape: pure per-row array lattice — no shuffle anywhere
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "c4Clean must not shuffle")
+  }
+
+  test("c4Clean: lines are trimmed before the rules and in the output") {
+    val df = Seq((1L, "   Padded but a fully valid sentence stays here.   \nnext"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(2) == 1
+      && r.getString(4) == "Padded but a fully valid sentence stays here.")
+  }
 }
