@@ -55,6 +55,7 @@ object SparkEntry {
       "q_doc_repetition" -> (graft.queries.QueriesR5.qDocRepetition _),
       "q_c4_lines" -> (graft.queries.QueriesR5.qC4Lines _),
       "q_bloom_dedup" -> (graft.queries.QueriesR5.qBloomDedup _),
+      "q_source_cap" -> (graft.queries.QueriesR5.qSourceCap _),
       "q_ecs_envelope" -> (graft.queries.QueriesR2.qEcsEnvelope _),
       "q_user_agent" -> (graft.queries.QueriesR2.qUserAgent _),
       "q_geoip_enrich" -> (graft.queries.QueriesR2.qGeoipEnrich _),
@@ -119,6 +120,7 @@ object SparkEntry {
       "q_doc_repetition" -> graft.queries.QueriesR5.qDocRepetitionSql,
       "q_c4_lines" -> graft.queries.QueriesR5.qC4LinesSql,
       "q_bloom_dedup" -> graft.queries.QueriesR5.qBloomDedupSql,
+      "q_source_cap" -> graft.queries.QueriesR5.qSourceCapSql,
       "q_ecs_envelope" -> graft.queries.QueriesR2.qEcsEnvelopeSql,
       "q_user_agent" -> graft.queries.QueriesR2.qUserAgentSql,
       "q_geoip_enrich" -> graft.queries.QueriesR2.qGeoipEnrichSql,

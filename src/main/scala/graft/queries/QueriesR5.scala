@@ -555,6 +555,28 @@ object QueriesR5 {
         col("is_new"))
       .orderBy("doc_id")
   }
+  // ---------------------------------------------------------------
+  // Per-source contribution cap: at most k docs per source, the k with
+  // the smallest md5(doc_id) — exact-count cousin of q_mix_sample's
+  // rate cap. The engine computes it as the TopKSmallest aggregation
+  // (O(groups·k) shuffle, no unsplittable hot-group window partition);
+  // the oracle replays the identical lexicographic order with a window
+  // (fine at oracle scale).
+  // ---------------------------------------------------------------
+  val SourceCapK = 10
+  def qSourceCap(spark: SparkSession, dir: String): DataFrame =
+    graft.sample.Sampling.capPerGroup(tbl(spark, dir, "documents"),
+        "source", "doc_id", SourceCapK)
+      .orderBy("source", "doc_id")
+  val qSourceCapSql: String =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+       |        || ':' || CAST(doc_id AS VARCHAR)) AS rk
+       |  FROM documents) WHERE rk <= $SourceCapK
+       |ORDER BY source, doc_id""".stripMargin
+
   val qBloomDedupSql: String =
     """WITH batch AS (
       |  SELECT doc_id + 9000000 AS id,

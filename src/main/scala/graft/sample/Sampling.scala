@@ -69,4 +69,38 @@ object Sampling {
     */
   def contentSplit(key: Column, valFrac: Double): Column =
     when(hash8(key) >= lit(thresholdHex(1.0 - valFrac)), "val").otherwise("train")
+
+  /** Per-group contribution cap: keep AT MOST `k` rows per group —
+    * exactly the k with the smallest `md5(id)` — the "no domain may
+    * dominate the corpus" rule (C4 and every crawl-scale pipeline cap
+    * per-site pages; rate-based [[mixtureSample]] can't give an exact
+    * per-group count). Deterministic like everything in this module:
+    * hash of the row's own id, so the SAME k rows win on any cluster
+    * size, partitioning, or rerun.
+    *
+    * Scale shape: the naive spelling is `row_number() OVER (PARTITION BY
+    * group ORDER BY hash) <= k`, which shuffles EVERY row of the corpus
+    * and sorts each group in one unsplittable task — a hot domain's
+    * 10⁹ pages land on one executor. This uses
+    * [[graft.functions.TopKSmallest]], an aggregation: map-side partials
+    * keep O(k) per group and ship k values, so the only exchange carries
+    * O(groups·k·partitions) regardless of skew, and no task ever holds a
+    * full group. Sort key = 16-hex md5 prefix + ":" + id — unique-id
+    * suffix makes the lexicographic order total (the oracle replays the
+    * identical string comparison).
+    *
+    * Returns `(groupCol, idCol)` of the kept rows; callers semi-join it
+    * back (on the id) to retain payload columns.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val sortKey = concat(
+      substring(md5(col(idCol).cast("string")), 1, 16),
+      lit(":"), col(idCol).cast("string"))
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKSmallest(sortKey, k).as("_keep"))
+      .select(col(groupCol), explode(col("_keep")).as("_key"))
+      .select(col(groupCol),
+        split(col("_key"), ":").getItem(1).cast("long").as(idCol))
+  }
 }

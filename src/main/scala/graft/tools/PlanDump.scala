@@ -68,6 +68,9 @@ object PlanDump {
     // broadcast of the corpus side
     dump("q_c4_lines", graft.queries.QueriesR5.qC4Lines(s, dir))
     dump("q_bloom_dedup", graft.queries.QueriesR5.qBloomDedup(s, dir))
+    // source_cap must be the top_k_smallest aggregation (two
+    // HashAggregates around one groups-sized Exchange), never a Window
+    dump("q_source_cap", graft.queries.QueriesR5.qSourceCap(s, dir))
     s.stop()
   }
 }

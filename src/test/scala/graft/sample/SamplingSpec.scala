@@ -79,4 +79,39 @@ class SamplingSpec extends SparkTestBase {
       Map("en" -> 0.5, "de" -> 0.5)).select("doc_id").as[Long].collect().toSet
     assert(a == b, "verdicts must not depend on partitioning")
   }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  test("capPerGroup: exactly the k smallest-hash rows per group, local window replay") {
+    // skewed groups: 'hot' 150 rows, 'warm' 20, 'tiny' 3 (< k)
+    val rows = (0L until 150L).map(i => ("hot", i)) ++
+      (200L until 220L).map(i => ("warm", i)) ++
+      (300L until 303L).map(i => ("tiny", i))
+    val df = rows.toDF("source", "doc_id")
+    val k = 7
+    val got = Sampling.capPerGroup(df, "source", "doc_id", k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy { case (_, id) => md5Hex(id.toString).take(16) + ":" + id }
+        .take(k).map { case (_, id) => (g, id) }
+    }.toSet
+    assert(got == want)
+    assert(got.count(_._1 == "hot") == k && got.count(_._1 == "tiny") == 3)
+  }
+
+  test("capPerGroup: verdicts independent of partitioning; aggregation plan, no Window") {
+    val df = (0L until 500L).map(i => (s"s${i % 5}", i)).toDF("source", "doc_id")
+    val a = Sampling.capPerGroup(df.repartition(1), "source", "doc_id", 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.capPerGroup(df.repartition(11), "source", "doc_id", 9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "kept set must not depend on partitioning/merge order")
+    val plan = Sampling.capPerGroup(df, "source", "doc_id", 9)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("top_k_smallest") && !plan.contains("Window"),
+      "per-group cap must be the bounded aggregation, never a window")
+  }
 }
