@@ -477,18 +477,27 @@ object Dedup {
     * positives die in the exact `(hash, text)` equality join, so the
     * result is exact, and the hash is the leading join key so the
     * exchange partitions on 8 bytes, never on document text (same rule
-    * as [[exact]]). `expectedItems` is caller-supplied capacity, like
-    * [[graft.sim.Ann]]'s `nlist`: sized to the batch, independent of
-    * corpus size. Spark's own runtime-filter injection only fires on
-    * selective build-side filters it can see; a dedup batch is an
-    * arbitrary table, so the prune is built explicitly.
+    * as [[exact]]). `expectedItems` sizes the filter: pass the known
+    * batch capacity (like [[graft.sim.Ann]]'s `nlist`), or ≤ 0 to derive
+    * it from a `batch.count()` — an UNDERSIZED filter stays exact but
+    * its real fpp grows past `fpp` and the prune quietly degrades back
+    * toward an O(corpus) exchange, so capacity must track the batch
+    * (same lesson as q_embed_neardup's corpus-derived nbits).
+    *
+    * EAGER, unlike the rest of this module: building the bloom is a
+    * Spark action, so constructing the returned DataFrame scans the
+    * batch once up front (twice per execution with the verify join) —
+    * the same contract as [[graft.sim.Ann.kmeansCentroids]]'s collect.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      textCol: String, expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
+    val capacity =
+      if (expectedItems > 0) expectedItems
+      else math.max(batch.count(), 1L)
     val bf = batch.select(xxhash64(col(textCol)).as("_h"))
-      .stat.bloomFilter("_h", expectedItems, fpp)
+      .stat.bloomFilter("_h", capacity, fpp)
     val bfBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

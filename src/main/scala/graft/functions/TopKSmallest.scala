@@ -43,6 +43,17 @@ case class TopKSmallest(
 
   require(k >= 1, "top_k_smallest k must be >= 1")
 
+  // analysis-time type check: without it a non-string child would pass
+  // planning and every task would die on the update()'s cast mid-job
+  // (ExpectsInputTypes is off the table — AbstractDataType is
+  // private[sql] in Spark 4)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"top_k_smallest requires a STRING child, got ${child.dataType.catalogString}")
+
   override def prettyName: String = "top_k_smallest"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

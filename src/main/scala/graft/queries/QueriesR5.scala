@@ -496,8 +496,10 @@ object QueriesR5 {
   // ---------------------------------------------------------------
   def qC4Lines(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
+    // coalesce on BOTH sides: a NULL text mangles to the planted lines
+    // alone rather than a NULL page (parity with the oracle's coalesce)
     val raw = concat(
-      replace(col("text"), lit(". "), lit(".\n")),
+      replace(coalesce(col("text"), lit("")), lit(". "), lit(".\n")),
       lit("\nenable javascript to view this site today." +
         "\nclick here for our full catalog { listing today." +
         "\nmenu home about"))
@@ -508,7 +510,7 @@ object QueriesR5 {
   }
   val qC4LinesSql: String =
     s"""WITH m AS (
-       |  SELECT doc_id, replace(text, '. ', '.' || chr(10)) || chr(10) ||
+       |  SELECT doc_id, replace(coalesce(text, ''), '. ', '.' || chr(10)) || chr(10) ||
        |    'enable javascript to view this site today.' || chr(10) ||
        |    'click here for our full catalog { listing today.' || chr(10) ||
        |    'menu home about' AS raw
@@ -541,7 +543,6 @@ object QueriesR5 {
   // verdict; the bloom prune is plan-only (exactness is the verify
   // join's), asserted in DedupSpec.
   // ---------------------------------------------------------------
-  val BloomExpectedItems = 4096L
   def qBloomDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val batch = docs.filter(col("doc_id") % 7 === 0)
@@ -549,8 +550,10 @@ object QueriesR5 {
         when(col("doc_id") % 2 === 1,
             concat(col("text"), lit(" [recrawl edit]")))
           .otherwise(col("text")).as("text"))
-    graft.dedup.Dedup.incrementalDedup(docs, batch, "doc_id", "text",
-        expectedItems = BloomExpectedItems)
+    // capacity derived from the batch (expectedItems <= 0): the batch
+    // grows with the table (|documents|/7), so a fixed constant would
+    // silently over-saturate the filter at larger sf
+    graft.dedup.Dedup.incrementalDedup(docs, batch, "doc_id", "text")
       .select(col("id").as("doc_id"), col("n_dups"), col("first_dup"),
         col("is_new"))
       .orderBy("doc_id")

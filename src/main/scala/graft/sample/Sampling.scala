@@ -101,6 +101,11 @@ object Sampling {
       .agg(graft.functions.TopKSmallest(sortKey, k).as("_keep"))
       .select(col(groupCol), explode(col("_keep")).as("_key"))
       .select(col(groupCol),
-        split(col("_key"), ":").getItem(1).cast("long").as(idCol))
+        // recover the id from the fixed-width key — the prefix is exactly
+        // 16 hex chars + ':', so substring (never a ':'-split: string ids
+        // may themselves contain colons) and cast back to the column's
+        // ORIGINAL type, not a hardcoded long
+        substring(col("_key"), 18, Int.MaxValue)
+          .cast(df.schema(idCol).dataType).as(idCol))
   }
 }

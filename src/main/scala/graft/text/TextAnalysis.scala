@@ -319,12 +319,17 @@ object TextAnalysis {
     * trim each line, drop lines failing [[c4LineKeep]], rejoin the
     * survivors; the page keep-verdict is the paper's ≥ 3 retained
     * "sentences" (kept lines). `(id, n_lines, n_kept_lines, keep,
-    * clean_text)`. Zero shuffle at any corpus size — per-row array
-    * arithmetic only, same scale shape as [[repetitionStats]].
+    * clean_text)`. NULL text is treated as an empty page (one empty
+    * line, nothing kept) — without the coalesce, NULL would propagate
+    * to `size(NULL) = -1` under Spark's legacy sizeOfNull and the row
+    * would diverge from any SQL replay. Zero shuffle at any corpus
+    * size — per-row array arithmetic only, same scale shape as
+    * [[repetitionStats]].
     */
   def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    val lines = transform(split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l))
     val kept = filter(lines, l => c4LineKeep(l))
     df.select(col(idCol).as("id"),
       size(lines).cast("long").as("n_lines"),

@@ -14,12 +14,15 @@ object PlanDump {
       println(s"########## $name")
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
-    // self-contained: materialise the small transcripts slice if a prior
-    // Bench bootstrap hasn't already (fresh container)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get("/tmp/graft_bench_warm/_SUCCESS")))
+    // self-contained: materialise a small transcripts slice under this
+    // tool's OWN scratch path (never Bench's warm dir — writing there
+    // with this tool's parallelism would silently change the file
+    // layout Bench warms up on, depending on which tool ran first)
+    val flagshipIn = "/tmp/graft_plandump_in"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$flagshipIn/_SUCCESS")))
       graft.model.TranscriptGen.generate(s, seed = 1L, nConvs = 3000L, parallelism = 4)
-        .write.mode("overwrite").parquet("/tmp/graft_bench_warm")
-    dump("flagship", graft.TranscriptPipeline.run(s, s.read.parquet("/tmp/graft_bench_warm")))
+        .write.mode("overwrite").parquet(flagshipIn)
+    dump("flagship", graft.TranscriptPipeline.run(s, s.read.parquet(flagshipIn)))
     dump("q_enrich_join", graft.queries.Queries.qEnrichJoin(s, dir))
     dump("q_multiline", graft.queries.Queries.qMultiline(s, dir))
     dump("q_dedup_pairs", graft.queries.QueriesML.qDedupPairs(s, dir))
