@@ -16,13 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * array — the aggregation-shaped alternative to `row_number() OVER
   * (PARTITION BY g ORDER BY v) <= k`.
   *
-  * Why not the window: a window partition is ONE task holding the whole
-  * group, so a hot group (a 100 TB corpus's dominant domain) shuffles and
-  * sorts every one of its rows in a single unsplittable partition. As a
-  * [[TypedImperativeAggregate]] the top-k is computed in the map-side
-  * partials — each partial holds at most 2k values per group and ships k —
-  * so shuffle volume is O(groups·k·partitions) no matter how hot a group
-  * gets, and no task ever materializes a full group.
+  * Why not the window — measured, not folklore (`tools/CapProbe`, 8M
+  * rows, one group owning half of them): Spark 4's `WindowGroupLimit`
+  * rule already prunes a `row_number <= k` filter map-side, so the
+  * window no longer shuffles the full corpus (pre-3.5 it did — k ROWS
+  * per partition-group ship, 320k records in the probe). The
+  * aggregation still ships ONE packed record per (partition, group) —
+  * 32k records, 10× fewer, measured — runs no final per-group sort
+  * task, and its map-side bound holds under ANY composition (the
+  * window's depends on the optimizer matching the literal
+  * rank-predicate pattern; wrap the rank in an expression it can't see
+  * through and the full shuffle is back). Wall time is equal at probe
+  * scale; the shuffle-volume and robustness margins are the point.
+  * Each partial holds at most 2k values per group and ships k, so no
+  * task ever materializes a full group.
   *
   * Buffer discipline: values append freely to 2k, then compact
   * (sort + truncate to k); once k values are present, candidates ≥ the

@@ -78,14 +78,16 @@ object Sampling {
     * hash of the row's own id, so the SAME k rows win on any cluster
     * size, partitioning, or rerun.
     *
-    * Scale shape: the naive spelling is `row_number() OVER (PARTITION BY
-    * group ORDER BY hash) <= k`, which shuffles EVERY row of the corpus
-    * and sorts each group in one unsplittable task — a hot domain's
-    * 10⁹ pages land on one executor. This uses
-    * [[graft.functions.TopKSmallest]], an aggregation: map-side partials
-    * keep O(k) per group and ship k values, so the only exchange carries
-    * O(groups·k·partitions) regardless of skew, and no task ever holds a
-    * full group. Sort key = 16-hex md5 prefix + ":" + id — unique-id
+    * Scale shape: computed with [[graft.functions.TopKSmallest]], an
+    * aggregation whose map-side partials keep O(k) per group, so the
+    * only exchange carries one packed record per (partition, group)
+    * regardless of skew and no task ever holds a full group. The
+    * `row_number() OVER (PARTITION BY group ORDER BY hash) <= k`
+    * spelling is skew-safe on Spark 4 too (`WindowGroupLimit` prunes
+    * rank filters map-side), but ships k× the shuffle records and only
+    * while the optimizer recognizes the rank-predicate pattern —
+    * measured head-to-head in `tools/CapProbe` (see the expression's
+    * scaladoc). Sort key = 16-hex md5 prefix + ":" + id — unique-id
     * suffix makes the lexicographic order total (the oracle replays the
     * identical string comparison).
     *
