@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *   - string methods: `startsWith endsWith contains matches` plus the
   *     `ext.Strings()` set: `charAt indexOf lastIndexOf lowerAscii
   *     upperAscii replace split join substring trim format quote`
-  *     (0-based CEL indices; `format` requires a literal format string
-  *     and supports the `%s %d %f %e %x %X %o` verbs with optional
-  *     precision — `%b` and dynamic format strings fail closed;
+  *     (0-based CEL indices; `format` supports the `%s %d %f %e %x %X
+  *     %o %b` verbs with optional f/e precision on literal format
+  *     strings (`%b` = Go binary, spliced as a conv() chain);
   *     bounded-count 3-arg `replace` is complete — fully dynamic
   *     operands and Go's empty-search insert-between-runes case, via
   *     the fused [[graft.functions.GoStrReplace]] expression);
@@ -406,7 +406,7 @@ object Cel {
       // (%f default precision is 6 in both).
       case Method(Lit(fmt: String), "format", List(ListLit(args))) =>
         validateFormat(fmt, args.length)
-        format_string(fmt, args.map(go): _*)
+        compileLiteralFormat(fmt, args.map(go))
       // Dynamic (non-literal) format string — cel-go's Strings() accepts
       // any expression here (`lc-lib/processor/cel.go:41` loads the full
       // ext.Strings), so a computed format compiles too: the verb set is
@@ -446,25 +446,78 @@ object Cel {
     }
   }
 
-  /** Accept only the format verbs where cel-go and java.util.Formatter
-    * agree (`%s %d %f %e %x %X %o`; precision only where the Formatter
-    * allows it — `%.Nf`/`%.Ne`; `%%` escape), and check the arg count
-    * matches the verb count — anything else (notably `%b` binary,
-    * positional args, precision on d/x/o) fails closed at compile time
-    * rather than diverging at run time. Argument TYPE mismatches (e.g.
-    * `%x` fed a string column) still surface at execution — a Column's
-    * runtime type isn't always statically known here; documented residue.
+  /** Accept only the format verbs where the compiled form matches cel-go
+    * (`%s %d %f %e %x %X %o` via java.util.Formatter, where the two
+    * agree; `%b` via the Go-semantics binary spelling below — literal
+    * formats only; precision only where the Formatter allows it —
+    * `%.Nf`/`%.Ne`; `%%` escape), and check the arg count matches the
+    * verb count — anything else (positional args, precision on d/x/o)
+    * fails closed at compile time rather than diverging at run time.
+    * Argument TYPE mismatches (e.g. `%x` fed a string column) still
+    * surface at execution — a Column's runtime type isn't always
+    * statically known here; documented residue.
     */
+  private val FormatVerb =
+    java.util.regex.Pattern.compile("%(?:%|(?:\\.\\d+)?[fe]|[sdxXob])")
+
   private def validateFormat(fmt: String, nargs: Int): Unit = {
-    val verb = java.util.regex.Pattern.compile("%(?:%|(?:\\.\\d+)?[fe]|[sdxXo])")
-    val m = verb.matcher(fmt)
+    val m = FormatVerb.matcher(fmt)
     var count = 0
     while (m.find()) if (!m.group().equals("%%")) count += 1
     // strip every recognized verb; any '%' left is an unsupported one
-    require(verb.matcher(fmt).replaceAll("").indexOf('%') < 0,
-      s"unsupported CEL format verb in '$fmt' (supported: %s %d %x %X %o, %f %e with optional precision)")
+    require(FormatVerb.matcher(fmt).replaceAll("").indexOf('%') < 0,
+      s"unsupported CEL format verb in '$fmt' (supported: %s %d %x %X %o %b, %f %e with optional precision)")
     require(count == nargs,
       s"CEL format '$fmt' has $count verbs but ${nargs} args")
+  }
+
+  /** `%b` the way cel-go renders it (Go `strconv.FormatInt(v, 2)`):
+    * sign + magnitude bits — NOT java.util.Formatter's `%b`, which is
+    * Boolean.toString and would silently print "true" for any non-null
+    * int. Spark's `conv` treats negatives as unsigned 64-bit two's
+    * complement, so the sign is handled explicitly; Long.MinValue can't
+    * be negated in-range and gets its literal spelling. Bools arrive as
+    * the long cast 0/1, matching cel-go's binary clause.
+    */
+  private def goBinary(a: Column): Column = {
+    val v = a.cast("long")
+    when(v === Long.MinValue, lit("-1" + "0" * 63))
+      .when(v < 0, concat(lit("-"), conv((-v).cast("string"), 10, 2)))
+      .otherwise(conv(v.cast("string"), 10, 2))
+  }
+
+  /** Compile a LITERAL format: runs between `%b` verbs go through one
+    * `format_string` each (java.util.Formatter semantics, validated
+    * subset); each `%b` arg is spliced in via [[goBinary]]. No `%b` →
+    * exactly the plain `format_string` call.
+    */
+  private def compileLiteralFormat(fmt: String, args: Seq[Column]): Column = {
+    if (!fmt.contains("%b")) return format_string(fmt, args: _*)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    val seg = new StringBuilder
+    val segArgs = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var argI = 0
+    var pos = 0
+    def flush(): Unit = {
+      if (seg.nonEmpty || segArgs.nonEmpty) {
+        pieces += (if (segArgs.isEmpty) lit(seg.toString)
+                   else format_string(seg.toString, segArgs.toSeq: _*))
+        seg.clear(); segArgs.clear()
+      }
+    }
+    val m = FormatVerb.matcher(fmt)
+    while (m.find()) {
+      seg.append(fmt.substring(pos, m.start()))
+      pos = m.end()
+      m.group() match {
+        case "%%" => seg.append("%%")
+        case "%b" => flush(); pieces += goBinary(args(argI)); argI += 1
+        case v => seg.append(v); segArgs += args(argI); argI += 1
+      }
+    }
+    seg.append(fmt.substring(pos))
+    flush()
+    concat(pieces.toSeq: _*)
   }
 
   /** `locate` with fully dynamic operands (the sql.functions overloads

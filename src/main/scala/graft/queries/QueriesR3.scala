@@ -30,8 +30,10 @@ object QueriesR3 {
         cel("event.event_type.indexOf(\"e\")").as("ie"),
         cel("event.event_type.lastIndexOf(\"e\")").as("le"),
         cel("size(event.event_type.split(\"i\"))").cast("long").as("nsplit"),
-        cel("size((\"  \" + event.event_type + \" \").trim())").cast("long").as("tlen"))
-      .groupBy("up", "pre", "ca", "ie", "le", "nsplit", "tlen")
+        cel("size((\"  \" + event.event_type + \" \").trim())").cast("long").as("tlen"),
+        // %b = Go binary with sign (r5); *37-150 makes both signs appear
+        cel("\"b=%b\".format([size(event.event_type.trim()) * 37 - 150])").as("fb"))
+      .groupBy("up", "pre", "ca", "ie", "le", "nsplit", "tlen", "fb")
       .agg(count(lit(1)).as("n"))
       .orderBy("up")
   }
@@ -45,8 +47,11 @@ object QueriesR3 {
       |            ELSE len(event_type) - strpos(reverse(event_type), 'e') END AS BIGINT) AS le,
       |  CAST(len(string_split(event_type, 'i')) AS BIGINT) AS nsplit,
       |  CAST(len(event_type) AS BIGINT) AS tlen,
+      |  'b=' || CASE WHEN len(event_type) * 37 - 150 < 0
+      |    THEN '-' || bin(-(CAST(len(event_type) AS BIGINT) * 37 - 150))
+      |    ELSE bin(CAST(len(event_type) AS BIGINT) * 37 - 150) END AS fb,
       |  count(*) AS n
-      |FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY up""".stripMargin
+      |FROM events GROUP BY 1, 2, 3, 4, 5, 6, 7, 8 ORDER BY up""".stripMargin
 
   // ---------------------------------------------------------------
   // RFC3339Nano ingestion (timestamp.go:34-46): 9-digit-fraction strings

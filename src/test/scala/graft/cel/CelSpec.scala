@@ -200,14 +200,26 @@ class CelSpec extends SparkTestBase {
     assert(s("\"plain, no verbs\".format([])").as[String].collect()(0) == "plain, no verbs")
     // composes as a string for + and size()
     assert(s("size(\"%d\".format([7]))").as[Int].collect()(0) == 1)
-    // fail-closed cases: %b verb, arity mismatch, precision on verbs
-    // where java.util.Formatter rejects it (%.1d/%.1x would otherwise
-    // compile and throw IllegalFormatPrecisionException per row at
-    // execution)
-    intercept[IllegalArgumentException](Cel.compile("\"%b\".format([3])", resolve))
+    // %b = Go strconv.FormatInt(v, 2), spliced as conv() segments around
+    // the java.util.Formatter runs — NOT Formatter's boolean %b
+    assert(s("\"%b\".format([5])").as[String].collect()(0) == "101")
+    assert(s("\"%b\".format([0])").as[String].collect()(0) == "0")
+    assert(s("\"%b\".format([-5])").as[String].collect()(0) == "-101")
+    assert(s("\"m=%s b=%b h=%x %% tail=%b\".format([\"v\", 6, 255, 1])")
+      .as[String].collect()(0) == "m=v b=110 h=ff % tail=1")
+    // Long.MinValue can't be negated in-range — pinned spelling (Go's
+    // FormatInt(MinValue, 2) = "-1" + 63 zeros); built by arithmetic
+    // because the lexer can't hold the bare literal
+    assert(s("\"%b\".format([-9223372036854775807 - 1])").as[String].collect()(0)
+      == "-1" + "0" * 63)
+    // fail-closed cases: arity mismatch, precision on verbs where
+    // java.util.Formatter rejects it (%.1d/%.1x would otherwise compile
+    // and throw IllegalFormatPrecisionException per row at execution),
+    // precision on %b
     intercept[IllegalArgumentException](Cel.compile("\"%s %s\".format([1])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%.1d\".format([3])", resolve))
     intercept[IllegalArgumentException](Cel.compile("\"%.2x\".format([3])", resolve))
+    intercept[IllegalArgumentException](Cel.compile("\"%.2b\".format([3])", resolve))
   }
 
   test("ext.Strings format(): dynamic format strings compile (cel.go:41 full Strings())") {
