@@ -500,7 +500,11 @@ object Cel {
     var pos = 0
     def flush(): Unit = {
       if (seg.nonEmpty || segArgs.nonEmpty) {
-        pieces += (if (segArgs.isEmpty) lit(seg.toString)
+        // an arg-less segment can still hold %% escapes — route any
+        // segment containing '%' through the Formatter so %% renders
+        // as one percent sign (a bare lit would emit it verbatim)
+        pieces += (if (segArgs.isEmpty && !seg.toString.contains('%'))
+                     lit(seg.toString)
                    else format_string(seg.toString, segArgs.toSeq: _*))
         seg.clear(); segArgs.clear()
       }

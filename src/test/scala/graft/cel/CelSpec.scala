@@ -207,6 +207,9 @@ class CelSpec extends SparkTestBase {
     assert(s("\"%b\".format([-5])").as[String].collect()(0) == "-101")
     assert(s("\"m=%s b=%b h=%x %% tail=%b\".format([\"v\", 6, 255, 1])")
       .as[String].collect()(0) == "m=v b=110 h=ff % tail=1")
+    // %% in an ARG-LESS segment between %b verbs must still render as
+    // one percent sign (the splice can't emit that run as a bare literal)
+    assert(s("\"%b %% done\".format([3])").as[String].collect()(0) == "11 % done")
     // Long.MinValue can't be negated in-range — pinned spelling (Go's
     // FormatInt(MinValue, 2) = "-1" + 63 zeros); built by arithmetic
     // because the lexer can't hold the bare literal
