@@ -102,6 +102,21 @@ class SamplingSpec extends SparkTestBase {
     assert(got.count(_._1 == "hot") == k && got.count(_._1 == "tiny") == 3)
   }
 
+  test("capPerGroup: string id columns round-trip intact (incl. ids containing colons)") {
+    val rows = Seq(
+      ("d1", "http://a/x:1"), ("d1", "http://a/y:2"), ("d1", "http://a/z"),
+      ("d2", "u:v:w"), ("d2", "plain"))
+    val df = rows.toDF("domain", "url")
+    val got = Sampling.capPerGroup(df, "domain", "url", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(_._2).sortBy(u => md5Hex(u).take(16) + ":" + u).take(2).map((g, _))
+    }.toSet
+    assert(got == want, s"got $got")
+    assert(got.forall { case (_, u) => rows.exists(_._2 == u) },
+      "every returned id must be an original, untruncated value")
+  }
+
   test("capPerGroup: verdicts independent of partitioning; aggregation plan, no Window") {
     val df = (0L until 500L).map(i => (s"s${i % 5}", i)).toDF("source", "doc_id")
     val a = Sampling.capPerGroup(df.repartition(1), "source", "doc_id", 9)
