@@ -178,8 +178,13 @@ object Multiline {
           val overflow = checkLen - max
           var cutChars = byteCut(text, textLen - overflow)
           // forced progress when one code point exceeds the budget
-          // (max < 4 pathology): take the whole rune
-          if (cutChars == 0 && text.nonEmpty)
+          // (max < 4 pathology): take the whole rune — but ONLY with an
+          // empty buffer. With buffered lines, a zero cut means the
+          // budget went to the buffer+joiners: the reference appends the
+          // empty cut piece and flushes (`multiline.go`: cut = len -
+          // overflow = 0), the flush itself being the progress — forcing
+          // a rune here would emit an event LARGER than max
+          if (cutChars == 0 && text.nonEmpty && buffer.isEmpty)
             cutChars = Character.charCount(text.codePointAt(0))
           val kept = text.substring(0, cutChars)
           val keptBytes = utf8Len(kept)

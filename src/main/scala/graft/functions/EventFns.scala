@@ -47,11 +47,20 @@ object EventFns {
         // tags `_date_failure` instead (`actiondate.go:60-95`).
         c.try_cast("double").try_cast("timestamp")
       case layout =>
+        // weekday layouts (Go parses-and-ignores the validated name;
+        // Spark can't parse 'E'): strip the name from the input, let the
+        // shape guard validate it in position (GoTime class doc)
+        val input = GoTime.weekdayStrip(layout) match {
+          case Some(re) => regexp_replace(c, re, "")
+          case None => c
+        }
         // shape prefilter: a thrown-and-caught parse exception per row
         // per non-matching format dominates multi-format parse cost; the
-        // regex is a strict superset of parseable shapes (GoTime
-        // scaladoc), so guarded and unguarded results are identical
-        val attempt = try_to_timestamp(c, lit(GoTime.translate(layout)))
+        // regex covers every string the guarded pattern parses (GoTime
+        // scaladoc), and is Go-exact where the JVM pattern is looser
+        // (weekdays, numeric zones) — the guard on the ORIGINAL string
+        // is what carries Go's validation
+        val attempt = try_to_timestamp(input, lit(GoTime.translate(layout)))
         GoTime.shapeRegex(layout) match {
           case Some(re) => when(c.rlike(re), attempt)
           case None => attempt
@@ -88,7 +97,10 @@ object EventFns {
       if (m.start > last) parts += lit(template.substring(last, m.start))
       val inner = m.group(1)
       if (inner.startsWith("+"))
-        parts += date_format(tsCol, GoTime.translate(inner.substring(1)))
+        // FORMAT context: weekdays render as EEE/EEEE; space-padded day
+        // tokens compose as lpad'd columns (GoTime class doc — neither
+        // an optional section nor the JVM pad modifier can express them)
+        parts += GoTime.formatColumn(tsCol, inner.substring(1))
       else {
         val c = resolve(inner)
         val rendered = typeOf(inner) match {

@@ -59,7 +59,14 @@ object Facts {
     val w = Window.partitionBy("plugin", "field").orderBy("ts")
     val prevV = lag(col("value"), 1).over(w)
     val prevT = lag(col("ts"), 1).over(w)
-    val dur = (col("ts") - prevT).cast("double")
+    // duration guard (`muninrunner.go`: `duration <= 0` skips the field):
+    // a duplicated or out-of-order boundary (overlapping reprocessed
+    // batches) must skip the rate field, not divide by zero — a null
+    // divisor nulls the rate, which the aggregate below then drops
+    val dur = {
+      val d = (col("ts") - prevT).cast("double")
+      when(d > 0.0, d)
+    }
     val rate = (col("value") - prevV) / dur
     val wrap32 = lit(math.pow(2, 32))
     val wrap64 = lit(math.pow(2, 64))
@@ -72,12 +79,15 @@ object Facts {
       .when(col("dst") === "COUNTER", counterRate)
     samples
       .withColumn("calc", calc)
-      // RequiresPrevious: rate types emit nothing on the series' first
-      // sample (calc is null there); an unknown dst never emits
-      .filter(col("calc").isNotNull)
+      // RequiresPrevious: rate types emit no FIELD on the series' first
+      // sample (calc null, dropped inside the collect — collect_list
+      // skips nulls), but the (ts, plugin) ENVELOPE is still emitted:
+      // the reference's collectRunner always returns the metricsets
+      // event for a collection that ran, even with an empty result map
+      // (`munin.go:150-152`); only the fields skip (`muninrunner.go`)
       .groupBy(col("ts"), col("plugin"))
-      .agg(map_from_entries(
-        array_sort(collect_list(struct(col("field"), col("calc"))))).as("facts"))
+      .agg(map_from_entries(array_sort(collect_list(
+        when(col("calc").isNotNull, struct(col("field"), col("calc")))))).as("facts"))
       .select(
         col("ts"),
         lit("metricsets").as("type"),

@@ -154,4 +154,17 @@ class MultilineSpec extends SparkTestBase {
     }.toMap
     assert(got == want)
   }
+
+  test("maxBytes exhausted by the buffer: empty cut + flush, never an over-max event (multiline.go cut loop)") {
+    // budget for the incoming line is zero because buffer+joiners already
+    // fill maxBytes: the reference appends the EMPTY cut piece and
+    // flushes; forcing a rune through would emit an event > maxBytes
+    val cfg = MultilineConfig(contPattern, maxBytes = Some(4))
+    val lines = Seq("abc", " defg")
+    val want = Seq("abc\n", " def", "g")
+    assert(Multiline.oracle(lines, cfg) == want)
+    assert(runOrdered(lines, cfg) == want, "sessionize and oracle must agree")
+    assert(Multiline.oracle(lines, cfg).forall(
+      _.getBytes("UTF-8").length <= 4), "no event may exceed maxBytes")
+  }
 }

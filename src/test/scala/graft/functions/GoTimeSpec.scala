@@ -81,4 +81,52 @@ class GoTimeSpec extends SparkTestBase {
   test("unknown tokens still fail closed") {
     intercept[IllegalArgumentException](GoTime.translate("2006-01-02 Q9"))
   }
+
+  test("weekday layouts (Go UnixDate family) parse via dateParse: name validated, then ignored") {
+    // Spark rejects pattern letter 'E' when parsing, so translate() omits
+    // the token and dateParse strips the (shape-validated) name
+    val layout = "Mon Jan _2 15:04:05 2006"
+    def dp(v: String): Option[java.sql.Timestamp] =
+      Seq(v).toDF("raw").select(EventFns.dateParse(col("raw"), Seq(layout)).as("ts"))
+        .collect()(0) match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getTimestamp(0))
+      }
+    assert(dp("Wed Mar  4 05:06:07 2026").contains(utc("2026-03-04T05:06:07Z")))
+    assert(dp("Sun Mar 15 05:06:07 2026").contains(utc("2026-03-15T05:06:07Z")))
+    // Go validates the NAME but not its consistency with the date: any
+    // real weekday name parses, an invalid word does not
+    assert(dp("Mon Mar  4 05:06:07 2026").isDefined, "wrong-but-valid weekday is ignored")
+    assert(dp("Xyz Mar  4 05:06:07 2026").isEmpty, "invalid weekday name fails like Go")
+    // full-name form
+    assert(Seq("Wednesday Mar 15 05:06:07 2026").toDF("raw")
+      .select(EventFns.dateParse(col("raw"), Seq("Monday Jan _2 15:04:05 2006")).as("ts"))
+      .collect()(0).getTimestamp(0) != null)
+  }
+
+  test("format context: _2 pads single-digit days only; weekday renders; -07:00 is +00:00 at UTC") {
+    def fmt(layout: String, iso: String): String =
+      Seq(java.sql.Timestamp.from(java.time.Instant.parse(iso))).toDF("ts")
+        .select(GoTime.formatColumn(col("ts"), layout).as("s"))
+        .collect()(0).getString(0)
+    // Go _2: " 5" for day 5, "15" for day 15 — an optional-section [ ]d
+    // would print "Mar  15" (the round-5 review finding)
+    assert(fmt("Jan _2 15:04:05", "2026-03-05T04:00:01Z") == "Mar  5 04:00:01")
+    assert(fmt("Jan _2 15:04:05", "2026-03-15T04:00:01Z") == "Mar 15 04:00:01")
+    assert(fmt("Mon Jan _2", "2026-03-04T00:00:00Z") == "Wed Mar  4")
+    // Go formats UTC as +00:00 under -07:00 (Z is reserved for Z07:00)
+    assert(fmt("2006-01-02T15:04:05-07:00", "2026-03-04T05:06:07Z")
+      == "2026-03-04T05:06:07+00:00")
+    assert(fmt("2006-01-02T15:04:05Z07:00", "2026-03-04T05:06:07Z")
+      == "2026-03-04T05:06:07Z")
+  }
+
+  test("numeric zone -07:00 rejects Z when parsing (Go reserves Z for the Z07:00 forms)") {
+    assert(parse("2006-01-02T15:04:05-07:00", "2026-03-04T05:06:07Z").isEmpty)
+    assert(parse("2006-01-02T15:04:05-07:00", "2026-03-04T05:06:07+05:30")
+      .contains(utc("2026-03-03T23:36:07Z")))
+    // the shape is Go-exact: Z doesn't match the numeric-zone shape either
+    assert(!"2026-03-04T05:06:07Z".matches(
+      GoTime.shapeRegex("2006-01-02T15:04:05-07:00").get))
+  }
 }

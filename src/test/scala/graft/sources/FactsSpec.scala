@@ -19,13 +19,16 @@ class FactsSpec extends SparkTestBase {
       (600L, "fact-courier.munin.cpu", Map("user" -> 9.0))))
   }
 
-  test("DERIVE is the per-second rate, negatives allowed, first sample dropped (munintype.go:90-92)") {
+  test("DERIVE is the per-second rate, negatives allowed, first sample skipped (munintype.go:90-92)") {
     val got = run(Seq(
       (300L, "if", "in", "DERIVE", 1000.0),
       (600L, "if", "in", "DERIVE", 1600.0),  // +600 over 300 s → 2.0/s
       (1200L, "if", "in", "DERIVE", 1000.0)  // -600 over 600 s → -1.0/s
     ))
     assert(got == Seq(
+      // first collection: the FIELD is skipped but the envelope is
+      // emitted with an empty facts map (munin.go:150-152)
+      (300L, "fact-courier.munin.if", Map.empty[String, Double]),
       (600L, "fact-courier.munin.if", Map("in" -> 2.0)),
       (1200L, "fact-courier.munin.if", Map("in" -> -1.0))))
   }
@@ -36,7 +39,9 @@ class FactsSpec extends SparkTestBase {
       (300L, "net", "rx", "COUNTER", nearWrap),
       (600L, "net", "rx", "COUNTER", 200.0) // wrapped: (2^32 - prev + 200) / 300 = 1.0
     ))
-    assert(got == Seq((600L, "fact-courier.munin.net", Map("rx" -> 1.0))))
+    assert(got == Seq(
+      (300L, "fact-courier.munin.net", Map.empty[String, Double]),
+      (600L, "fact-courier.munin.net", Map("rx" -> 1.0))))
   }
 
   test("COUNTER wraps at 64 bits when the previous value exceeds 2^31") {
@@ -46,7 +51,9 @@ class FactsSpec extends SparkTestBase {
       (100L, "net", "tx", "COUNTER", 0.0)
     ))
     val want = (math.pow(2, 64) - prev) / 100.0
-    assert(got == Seq((100L, "fact-courier.munin.net", Map("tx" -> want))))
+    assert(got == Seq(
+      (0L, "fact-courier.munin.net", Map.empty[String, Double]),
+      (100L, "fact-courier.munin.net", Map("tx" -> want))))
   }
 
   test("one event per (collection, plugin) with the metricsets envelope (munin.go:128-144)") {
@@ -79,5 +86,28 @@ class FactsSpec extends SparkTestBase {
       .select(Facts.collectionBoundary(to_timestamp(col("s")), 300))
       .collect()(0).getLong(0)
     assert(neg == -300L, s"epoch -60 must truncate to -300, got $neg")
+  }
+
+  test("duplicated boundary (duration <= 0) skips the rate field like muninrunner.go, never divides by zero") {
+    // two DERIVE samples at the SAME boundary: whichever lags first gives
+    // dur = 0 -> the field is skipped (null calc), not Infinity/NaN/abort
+    val out = run(Seq(
+      (300L, "cpu", "m0", "DERIVE", 10.0),
+      (300L, "cpu", "m0", "DERIVE", 99.0),
+      (600L, "cpu", "m0", "DERIVE", 130.0)))
+    assert(out.forall { case (_, _, facts) =>
+      facts.values.forall(v => !v.isInfinite && !v.isNaN) })
+    // the 600s sample still rates against SOME 300s sample (dur = 300)
+    val at600 = out.find(_._1 == 600L).get._3
+    assert(at600.keySet == Set("m0") &&
+      (at600("m0") == (130.0 - 10.0) / 300 || at600("m0") == (130.0 - 99.0) / 300))
+  }
+
+  test("first collection of a rate-only plugin still emits the metricsets envelope with an empty facts map (munin.go:150-152)") {
+    val out = run(Seq(
+      (300L, "net", "rx", "COUNTER", 5.0),
+      (300L, "net", "tx", "DERIVE", 7.0)))
+    assert(out == Seq((300L, "fact-courier.munin.net", Map.empty[String, Double])),
+      s"collection ran -> envelope emitted, fields skipped; got $out")
   }
 }
