@@ -99,7 +99,10 @@ object Cel {
   private class Parser(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
-    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def next(): Tok = {
+      require(pos < toks.length, "unexpected end of CEL expression")
+      val t = toks(pos); pos += 1; t
+    }
     private def expect(text: String): Unit = {
       val t = next()
       require(t.text == text, s"expected '$text' but found '${t.text}'")
@@ -261,7 +264,20 @@ object Cel {
         } else if (root == "event") {
           resolve(name.stripPrefix("event").stripPrefix("."))
         } else throw new IllegalArgumentException(s"unknown CEL identifier: $name")
-      case Index(t, k) => element_at(go(t), go(k))
+      case Index(t, k) =>
+        // CEL list indexing is 0-BASED and out-of-range is an eval error
+        // (-> null under the branch-false contract); Spark's element_at
+        // is 1-based on arrays and THROWS on 0. Dispatch on the static
+        // type; with no schema info, a numeric key means list semantics
+        // (map keys in the reference configs are strings).
+        (staticType(t, typeOf), k) match {
+          case (Some(_: org.apache.spark.sql.types.ArrayType), _) =>
+            get(go(t), go(k).cast("int"))
+          case (Some(_: org.apache.spark.sql.types.MapType), _) =>
+            element_at(go(t), go(k))
+          case (None, Lit(_: Long)) => get(go(t), go(k).cast("int"))
+          case _ => element_at(go(t), go(k))
+        }
       case Unary("!", x) => !go(x)
       case Unary("-", x) => -go(x)
       case Unary(op, _) => throw new IllegalArgumentException(s"bad unary op $op")
@@ -280,11 +296,22 @@ object Cel {
           // definitions); list operand only (map-key membership is the
           // documented subset divergence)
           case "in" => array_contains(rc, lc)
-          // CEL `+` is typed; on strings it concatenates. Detect the
-          // string case structurally (literal strings / concat results),
-          // otherwise emit numeric +; mixed cases resolve at analysis.
+          // CEL `+` is typed: strings concatenate, lists concatenate,
+          // numbers add. Detect strings structurally OR from the schema
+          // (two untyped STRING event fields would otherwise compile to
+          // numeric Add, whose ANSI string->double cast aborts the job);
+          // lists only from the schema/literal shape.
           case "+" =>
-            if (isStringy(l) || isStringy(r)) concat(lc.cast("string"), rc.cast("string"))
+            def st(e: Expr) = staticType(e, typeOf)
+            val stringy = isStringy(l) || isStringy(r) ||
+              st(l).contains(org.apache.spark.sql.types.StringType) ||
+              st(r).contains(org.apache.spark.sql.types.StringType)
+            val listy = Seq(st(l), st(r)).exists {
+              case Some(_: org.apache.spark.sql.types.ArrayType) => true
+              case _ => false
+            }
+            if (stringy) concat(lc.cast("string"), rc.cast("string"))
+            else if (listy) concat(lc, rc)
             else lc + rc
           case "-" => lc - rc
           case "*" => lc * rc
@@ -292,7 +319,29 @@ object Cel {
           // (`ast.go:111-118`); under Spark 4's default ANSI mode a plain
           // `/` or `%` raises DIVIDE_BY_ZERO — try_divide/try_mod return
           // null, which the null-safe guards treat as false.
-          case "/" => try_divide(lc, rc)
+          case "/" =>
+            // cel-go `/` on two ints is TRUNCATING integer division
+            // (7/2 = 3); try_divide is always floating-point. When both
+            // operands are statically integral, emit the TRY-mode
+            // integral divide (exact at any magnitude, null on /0 like
+            // the eval-error contract); otherwise float try_divide.
+            def intType(e: Expr) = staticType(e, typeOf).exists {
+              case org.apache.spark.sql.types.LongType
+                 | org.apache.spark.sql.types.IntegerType
+                 | org.apache.spark.sql.types.ShortType
+                 | org.apache.spark.sql.types.ByteType => true
+              case _ => false
+            }
+            if (intType(l) && intType(r))
+              // TryEval is the try_* null-on-error wrapper; EvalMode.TRY
+              // alone still raises DIVIDE_BY_ZERO from DivModLike.eval
+              org.apache.spark.sql.graftbridge.ColumnBridge.column(
+                org.apache.spark.sql.catalyst.expressions.TryEval(
+                  org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+                    org.apache.spark.sql.graftbridge.ColumnBridge.expression(lc),
+                    org.apache.spark.sql.graftbridge.ColumnBridge.expression(rc),
+                    org.apache.spark.sql.catalyst.expressions.EvalMode.TRY)))
+            else try_divide(lc, rc)
           case "%" => try_mod(lc, rc)
           case other => throw new IllegalArgumentException(s"bad binary op $other")
         }
@@ -339,11 +388,18 @@ object Cel {
       // 0-based code-point indices throughout (CEL), mapped onto Spark's
       // 1-based character functions.
       case Method(t, "charAt", List(i)) =>
-        go(t).substr(go(i).cast("int") + lit(1), lit(1))
+        // cel-go: index == len(s) yields "", out-of-range is an error
+        // (-> null); a negative index must NOT reach substr (position 0
+        // and negatives count from the wrong places)
+        val (tc, ic) = (go(t), go(i).cast("int"))
+        when(ic >= 0 && ic <= length(tc), tc.substr(ic + lit(1), lit(1)))
       case Method(t, "indexOf", List(a)) =>
         (locate_dyn(go(a), go(t), lit(1)) - lit(1)).cast("long")
       case Method(t, "indexOf", List(a, off)) =>
-        (locate_dyn(go(a), go(t), go(off).cast("int") + lit(1)) - lit(1)).cast("long")
+        // negative offset is a cel-go eval error -> null
+        val offc = go(off).cast("int")
+        when(offc >= 0,
+          (locate_dyn(go(a), go(t), offc + lit(1)) - lit(1)).cast("long"))
       case Method(t, "lastIndexOf", List(a)) => {
         val (s, sub) = (go(t), go(a))
         val revPos = locate_dyn(reverse(sub), reverse(s), lit(1))
@@ -388,12 +444,17 @@ object Cel {
       case Method(t, "join", List()) => array_join(go(t), "")
       case Method(t, "join", List(Lit(sep: String))) => array_join(go(t), sep)
       case Method(t, "substring", List(s)) => {
-        val tc = go(t)
-        tc.substr(go(s).cast("int") + lit(1), length(tc))
+        // cel-go: 0 <= start <= len(s), else eval error -> null (the
+        // classic s.substring(s.indexOf(x)) with x absent must null out,
+        // not return the whole string via substr's position-0 quirk)
+        val (tc, sc) = (go(t), go(s).cast("int"))
+        when(sc >= 0 && sc <= length(tc), tc.substr(sc + lit(1), length(tc)))
       }
       case Method(t, "substring", List(s, e)) =>
-        go(t).substr(go(s).cast("int") + lit(1),
-          (go(e).cast("int") - go(s).cast("int")))
+        // cel-go: 0 <= start <= end <= len(s), else eval error -> null
+        val (tc, sc, ec) = (go(t), go(s).cast("int"), go(e).cast("int"))
+        when(sc >= 0 && ec >= sc && ec <= length(tc),
+          tc.substr(sc + lit(1), ec - sc))
       case Method(t, "trim", List()) =>
         // cel-go trim follows unicode.IsSpace — (?U) switches java's \s to
         // the Unicode White_Space property (NBSP, NEL, U+2000-range, ...),
@@ -424,15 +485,14 @@ object Cel {
       case Method(_, "format", _) =>
         throw new IllegalArgumentException(
           "CEL format() needs a list literal of args (the format string may be any string expression)")
-      // cel-go ext.Strings quote(): Go strconv.Quote escaping + wrapping
-      // double quotes, as a chain of literal replaces (backslash first)
+      // cel-go ext.Strings quote() = Go strconv.Quote, as ONE fused
+      // expression — the earlier replace-chain escaped only 9 characters
+      // and let other control bytes (ANSI codes, NUL) through raw inside
+      // the quoted output, which is not a valid Go quoted literal
       case Method(t, "quote", List()) =>
-        val escaped = Seq(
-          "\\" -> "\\\\", "\"" -> "\\\"", "\u0007" -> "\\a", "\b" -> "\\b",
-          "\f" -> "\\f", "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t",
-          "\u000b" -> "\\v"
-        ).foldLeft(go(t)) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-        concat(lit("\""), escaped, lit("\""))
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.GoQuote(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(go(t))))
       case Method(t, name, _) => throw new IllegalArgumentException(s"unsupported CEL method: $name")
       case Macro(t, "map", v, body) =>
         transform(go(t), x => toColumn(body, resolve, vars + (v -> x), typeOf))
@@ -533,6 +593,33 @@ object Cel {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(sub),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(s),
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(pos)))
+
+  /** Best-effort static type of an expression: literals, cast calls,
+    * structurally-string shapes, and `event.`-rooted paths through the
+    * caller's schema callback. `None` = unknown (macro variables,
+    * un-schema'd resolvers) — callers fall back to the legacy behavior.
+    */
+  private def staticType(e: Expr,
+      typeOf: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    e match {
+      case Lit(_: String) => Some(StringType)
+      case Lit(_: Long) => Some(LongType)
+      case Lit(_: Double) => Some(DoubleType)
+      case Lit(_: Boolean) => Some(BooleanType)
+      case ListLit(_) => Some(ArrayType(NullType))
+      case Call("int", _) => Some(LongType)
+      case Call("double", _) => Some(DoubleType)
+      case Call("string", _) => Some(StringType)
+      case Call("size", _) => Some(LongType)
+      case Ident(name) if name == "event" || name.startsWith("event.") =>
+        typeOf(name.stripPrefix("event").stripPrefix("."))
+      case Method(t, "split", _) => Some(ArrayType(StringType))
+      case _ if isStringy(e) => Some(StringType)
+      case _ => None
+    }
+  }
 
   private def isStringy(e: Expr): Boolean = e match {
     case Lit(_: String) => true

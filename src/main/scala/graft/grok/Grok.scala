@@ -70,9 +70,26 @@ class Grok(loadDefaults: Boolean = true) {
       addPattern(l.substring(0, sp), l.substring(sp + 1).trim)
     }
 
+  /** Pattern names the spec needs but the registry lacks — TRANSITIVE,
+    * like the reference's `MissingPatterns` (a present pattern whose own
+    * definition references an absent one is still a miss; a caller using
+    * this as the pre-flight gate must not get a false all-clear and then
+    * a hard `compile` failure).
+    */
   def missingPatterns(spec: String): Seq[String] = {
-    val re = Grok.SpecRe
-    re.findAllMatchIn(spec).map(_.group(1)).filterNot(patterns.contains).toSeq.distinct
+    val missing = mutable.LinkedHashSet.empty[String]
+    val visited = mutable.Set.empty[String]
+    def scan(s: String): Unit =
+      Grok.SpecRe.findAllMatchIn(s).map(_.group(1)).foreach { name =>
+        if (visited.add(name)) {
+          patterns.get(name) match {
+            case Some(defn) => scan(defn)
+            case None => missing += name
+          }
+        }
+      }
+    scan(spec)
+    missing.toSeq
   }
 
   def compile(spec: String, localPatterns: Map[String, String] = Map.empty): CompiledGrok = {
@@ -109,6 +126,15 @@ class Grok(loadDefaults: Boolean = true) {
     }
 
     val regex = expand(spec, Nil)
+    // fail closed NOW on spec syntax SpecRe couldn't consume (e.g. the
+    // reference rejects %{WORD:a:b:c} at compile; a dash in a name) —
+    // left verbatim it would surface as a lazy PatternSyntaxException on
+    // an executor at first match, an obscure task failure instead of a
+    // config error
+    val leftover = regex.indexOf("%{")
+    require(leftover < 0,
+      s"invalid grok spec syntax at '${regex.substring(leftover.max(0),
+        math.min(regex.length, leftover.max(0) + 30))}...' in: $spec")
     // keep first occurrence when a field name repeats (Go map overwrote;
     // first-wins is deterministic and documented here)
     val uniq = fields.filter(f => seen.add(f.name))

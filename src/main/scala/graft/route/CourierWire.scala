@@ -69,14 +69,29 @@ object CourierWire {
   def decodeFrame(frame: Array[Byte]): (Array[Byte], Seq[Array[Byte]]) = {
     val in = new DataInputStream(new ByteArrayInputStream(frame))
     val magic = new Array[Byte](4)
-    in.readFully(magic)
+    try in.readFully(magic)
+    catch { case _: java.io.EOFException =>
+      throw new IllegalArgumentException("protocol error: truncated frame header") }
     require(new String(magic, "US-ASCII") == "JDAT", "protocol error: not a JDAT frame")
     val bodyLen = in.readInt()
     require(bodyLen >= 17, s"protocol error: Corrupt message (JDAT size $bodyLen < 17)")
     require(bodyLen <= MaxBodyBytes, s"protocol error: Message body too large ($bodyLen)")
+    // read EXACTLY the declared body — the reference reads data[:bodyLen]
+    // and inflates data[16:] (protocoljdat.go); inflating the unbounded
+    // remaining stream would let a frame declaring a tiny bodyLen smuggle
+    // an arbitrarily large compressed payload past the cap just checked,
+    // and a declared/actual length mismatch must be a protocol error,
+    // not a silent read or a raw EOFException
     val nonce = new Array[Byte](16)
-    in.readFully(nonce)
-    val z = new DataInputStream(new InflaterInputStream(in))
+    val zbytes = new Array[Byte](bodyLen - 16)
+    try { in.readFully(nonce); in.readFully(zbytes) }
+    catch { case _: java.io.EOFException =>
+      throw new IllegalArgumentException(
+        "protocol error: frame shorter than its declared body length") }
+    require(in.read() < 0,
+      "protocol error: trailing bytes after the declared body length")
+    val z = new DataInputStream(
+      new InflaterInputStream(new ByteArrayInputStream(zbytes)))
     val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var done = false
     while (!done) {
@@ -110,19 +125,49 @@ object CourierWire {
     (nonce, events.toSeq)
   }
 
-  /** Frame a routed batch: per task partition, wire-JSON events spooled
-    * into ≤ `spoolSize`-event frames (`spooler.go:112-125`'s bound), one
-    * deterministic nonce per (batch, partition, frame index). The
-    * per-partition imperative grouping is genuinely row-sequential —
-    * mapPartitions is the right primitive here.
+  /** Default per-frame byte budget for [[frames]]: the body cap minus
+    * the nonce and a worst-case zlib expansion margin (stored blocks add
+    * ~5 bytes per 64 KiB on incompressible input — ~800 bytes at 10 MiB;
+    * 8 KiB is ample), so `encodeFrame`'s cap cannot trip on data that
+    * merely refused to compress.
     */
-  def frames(df: DataFrame, batchId: Long, spoolSize: Int = 1024): Dataset[Array[Byte]] = {
+  val DefaultSpoolBytes: Long = (MaxBodyBytes - 16 - 8192).toLong
+
+  /** Frame a routed batch: per task partition, wire-JSON events spooled
+    * into frames bounded BOTH by event count and by accumulated event
+    * bytes (the reference spooler flushes on `spoolSize` events OR
+    * `spoolMaxBytes` bytes, `spooler.go:112-125` — count alone lets a
+    * batch of large events compress into a body past the 10 MiB frame
+    * cap and kill the task on every retry), one deterministic nonce per
+    * (batch, partition, frame index). The per-partition imperative
+    * grouping is genuinely row-sequential — mapPartitions is the right
+    * primitive here. A single event larger than the byte budget ships
+    * alone; `encodeFrame`'s caps stay the final guard.
+    */
+  def frames(df: DataFrame, batchId: Long, spoolSize: Int = 1024,
+      spoolMaxBytes: Long = DefaultSpoolBytes): Dataset[Array[Byte]] = {
     import df.sparkSession.implicits._
     val json = df.select(graft.functions.EventJsonEncode.forFrame(df).as("j")).as[String]
     json.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      it.grouped(spoolSize).zipWithIndex.map { case (group, i) =>
-        encodeFrame(group.map(_.getBytes("UTF-8")), nonce(batchId, pid, i))
+      val bytesIt = it.map(_.getBytes("UTF-8")).buffered
+      new Iterator[Array[Byte]] {
+        private var idx = 0
+        override def hasNext: Boolean = bytesIt.hasNext
+        override def next(): Array[Byte] = {
+          val group = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var bytes = 0L
+          while (bytesIt.hasNext && group.length < spoolSize &&
+              (group.isEmpty ||
+                bytes + bytesIt.head.length + 4 <= spoolMaxBytes)) {
+            val e = bytesIt.next()
+            group += e
+            bytes += e.length + 4 // 4-byte length prefix rides in the body
+          }
+          val f = encodeFrame(group.toSeq, nonce(batchId, pid, idx))
+          idx += 1
+          f
+        }
       }
     }
   }

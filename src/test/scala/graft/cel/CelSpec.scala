@@ -92,6 +92,73 @@ class CelSpec extends SparkTestBase {
     assert(evalBool("\"zzz\" in event.tags") == Seq(false, false))
   }
 
+  test("int/int division truncates like cel-go; /0 nulls; typed doubles stay floating-point") {
+    val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
+      p => if (p == "num") Some(org.apache.spark.sql.types.LongType) else None
+    // 7/2 = 3 in cel-go (NOT 3.5): `event.num / 2 == 3` must route true
+    assert(df.select(coalesce(
+        Cel.compile("event.num / 2 == 3", resolve, typeOf), lit(false)))
+      .as[Boolean].collect().toSeq == Seq(false, true))
+    val d = df.select(Cel.compile("event.num / 4", resolve, typeOf))
+      .as[Long].collect().toSeq
+    assert(d == Seq(10L, 1L), s"integer division must truncate, got $d")
+    // division by zero is an eval error -> null -> branch false
+    assert(df.select(coalesce(
+        Cel.compile("event.num / 0 == 0", resolve, typeOf), lit(false)))
+      .as[Boolean].collect().forall(_ == false))
+    // double literals keep floating-point division
+    val f = df.select(Cel.compile("7.0 / 2.0", resolve)).as[Double].collect()(0)
+    assert(f == 3.5)
+  }
+
+  test("list indexing is 0-based like CEL; out-of-range and negative null out") {
+    val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
+      p => if (p == "tags") Some(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)) else None
+    val first = df.select(Cel.compile("event.tags[0]", resolve, typeOf))
+      .as[String].collect().toSeq
+    assert(first == Seq("a", "x"), s"tags[0] must be the FIRST element, got $first")
+    val second = df.select(Cel.compile("event.tags[1]", resolve, typeOf))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(second == Seq(Some("b"), None), "out-of-range -> null, never wrong element")
+    // no schema info + numeric key still means list semantics
+    assert(df.select(Cel.compile("event.tags[0]", resolve))
+      .as[String].collect()(0) == "a")
+  }
+
+  test("+ on two schema-typed string fields concatenates (never ANSI numeric add)") {
+    val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
+      p => if (p == "message") Some(org.apache.spark.sql.types.StringType) else None
+    val got = df.select(Cel.compile("event.message + event.message", resolve, typeOf))
+      .as[String].collect()(0)
+    assert(got == "ERROR something badERROR something bad")
+  }
+
+  test("substring/charAt/indexOf: negative or inverted indices null out (cel-go eval error), never mis-slice") {
+    // the classic absent-needle idiom: indexOf -> -1, substring(-1) must
+    // NOT return the whole string via substr's position-0 quirk
+    val s1 = df.select(Cel.compile(
+        "event.message.substring(event.message.indexOf(\"zzz\"))", resolve))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(s1.forall(_.isEmpty), s"substring(-1) must be null, got $s1")
+    assert(df.select(Cel.compile("event.message.substring(2, 1)", resolve))
+      .collect().forall(_.isNullAt(0)), "inverted range must be null")
+    assert(df.select(Cel.compile("event.message.charAt(0 - 2)", resolve))
+      .collect().forall(_.isNullAt(0)), "negative charAt must be null")
+    assert(df.select(Cel.compile("event.message.indexOf(\"a\", 0 - 1)", resolve))
+      .collect().forall(_.isNullAt(0)), "negative offset must be null")
+    // in-range still slices 0-based
+    assert(df.select(Cel.compile("event.message.substring(0, 5)", resolve))
+      .as[String].collect()(0) == "ERROR")
+  }
+
+  test("truncated expressions fail with a CEL parse error, not an index exception") {
+    val e1 = intercept[IllegalArgumentException](Cel.compile("event.num >", resolve))
+    assert(e1.getMessage.contains("CEL"))
+    val e2 = intercept[IllegalArgumentException](Cel.compile("size(", resolve))
+    assert(e2.getMessage.contains("CEL"))
+  }
+
   test("size() on strings counts code points; on collections counts elements (ext.Strings)") {
     val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
       p => if (p == "message") Some(org.apache.spark.sql.types.StringType) else None
@@ -243,6 +310,25 @@ class CelSpec extends SparkTestBase {
     assert(s("\"plain\".quote()").as[String].collect()(0) == "\"plain\"")
     assert(s("\"tab\\tnl\\n\".quote()").as[String].collect()(0) == "\"tab\\tnl\\n\"")
     assert(s("\"q\\\"b\\\\s\".quote()").as[String].collect()(0) == "\"q\\\"b\\\\s\"")
+  }
+
+  test("quote(): the FULL strconv.Quote table, not just the named escapes (expected values = Go outputs)") {
+    def q(raw: String): String =
+      df.select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.GoQuote(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(raw)))))
+        .limit(1).as[String].collect()(0)
+    // all seven lettered controls
+    assert(q("\u0007\b\f\n\r\t\u000b") == "\"\\a\\b\\f\\n\\r\\t\\v\"")
+    // other controls + DEL as \xNN — an ANSI color code must come out a
+    // valid quoted literal, never raw ESC bytes
+    assert(q("\u0000\u001b[31m\u007f") == "\"\\x00\\x1b[31m\\x7f\"")
+    // printable non-ASCII raw; non-printable non-ASCII as \uNNNN
+    assert(q("héllo 日本") == "\"héllo 日本\"")
+    assert(q("a\u00a0b\u202ec") == "\"a\\u00a0b\\u202ec\"")
+    // astral: printable raw, format-class escaped as \UNNNNNNNN
+    assert(q("\ud83d\ude00") == "\"\ud83d\ude00\"") // U+1F600 😀
+    assert(q(new String(Character.toChars(0xE0001))) == "\"\\U000e0001\"")
   }
 
   test("trim() strips Unicode whitespace like Go strings.TrimSpace") {

@@ -116,4 +116,24 @@ class GrokSpec extends SparkTestBase {
       .select(element_at($"m", "w"), element_at($"m", "n")).collect().head
     assert(out.getString(0) == "abc" && out.getString(1) == "17")
   }
+
+  test("missingPatterns is transitive: a present pattern referencing an absent one is a miss") {
+    val g = new Grok(loadDefaults = false)
+    g.addPattern("TOP", "%{ABSENT} tail")
+    assert(g.missingPatterns("%{TOP:x}") == Seq("ABSENT"),
+      "pre-flight must not give a false all-clear before compile throws")
+    g.addPattern("ABSENT", "[a-z]+")
+    assert(g.missingPatterns("%{TOP:x}").isEmpty)
+  }
+
+  test("malformed spec syntax fails closed at compile, not as a lazy executor regex error") {
+    val g = new Grok(loadDefaults = false)
+    g.addPattern("WORD", "\\w+")
+    // the reference rejects the 4-part form at compile (grok.go SplitN);
+    // SpecRe can't consume it, and verbatim %{...} in the regex would
+    // only explode at first match on an executor
+    val e = intercept[IllegalArgumentException](g.compile("%{WORD:a:b:c}"))
+    assert(e.getMessage.contains("invalid grok spec"))
+    intercept[IllegalArgumentException](g.compile("%{BAD-NAME}"))
+  }
 }

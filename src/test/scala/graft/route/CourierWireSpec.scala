@@ -81,4 +81,42 @@ class CourierWireSpec extends SparkTestBase {
     // spool bound respected
     frames.foreach(f => assert(CourierWire.decodeFrame(f)._2.length <= 50))
   }
+
+  test("decodeFrame reads exactly the declared body: smuggled tails and length mismatches are protocol errors") {
+    val good = CourierWire.encodeFrame(
+      Seq("a".getBytes, "bb".getBytes), CourierWire.nonce(1L, 0, 0))
+    // trailing bytes after the declared body length
+    val tail = good ++ Array[Byte](1, 2, 3)
+    val e1 = intercept[IllegalArgumentException](CourierWire.decodeFrame(tail))
+    assert(e1.getMessage.contains("trailing bytes"))
+    // frame truncated inside the declared body (cut mid-zlib)
+    val cut = good.take(good.length - 3)
+    val e2 = intercept[IllegalArgumentException](CourierWire.decodeFrame(cut))
+    assert(e2.getMessage.contains("shorter than its declared body"))
+    // truncated before the nonce completes: protocol error, not raw EOF
+    val tiny = good.take(8 + 7)
+    val e3 = intercept[IllegalArgumentException](CourierWire.decodeFrame(tiny))
+    assert(e3.getMessage.contains("protocol error"))
+  }
+
+  test("frames flush on the byte budget too: incompressible large events never breach the frame cap") {
+    // 64 events of ~200KB of pseudo-random (incompressible) base64-ish
+    // text: count alone (spoolSize 1024) would pack ~12.8MB into one
+    // frame and trip encodeFrame's 10MiB body cap
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      val sb = new StringBuilder
+      while (sb.length < 200000) sb.append(java.lang.Long.toUnsignedString(rnd.nextLong(), 36))
+      (s"c$i", 0, "user", sb.toString, "none", new java.sql.Timestamp(1767225600000L))
+    }
+    import spark.implicits._
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val assigned = Router.stripMeta(graft.TranscriptPipeline.run(spark, df))
+    val frames = CourierWire.frames(assigned, batchId = 9L,
+      spoolSize = 1024, spoolMaxBytes = 1L << 20).collect() // 1MiB budget
+    assert(frames.length >= 13, s"64 x ~200KB under a 1MiB budget must split, got ${frames.length} frames")
+    val decoded = frames.flatMap(f => CourierWire.decodeFrame(f)._2)
+    assert(decoded.length == 64, "no event lost or duplicated across the byte-bound flushes")
+    frames.foreach(f => assert(f.length <= CourierWire.MaxBodyBytes))
+  }
 }
