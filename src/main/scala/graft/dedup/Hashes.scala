@@ -125,8 +125,11 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val h = Hashes.fnv64(arr.getUTF8String(j).getBytes)
-      Hashes.minHashAccum(h, seeds, sig)
+      // skip NULL elements (containsNull arrays from upstream
+      // expressions): collect-style semantics, not an NPE mid-codegen —
+      // nullIntolerant only covers a top-level null ARRAY
+      val e = arr.getUTF8String(j)
+      if (e != null) Hashes.minHashAccum(Hashes.fnv64(e.getBytes), seeds, sig)
       j += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
@@ -159,7 +162,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val acc = new Array[Int](64)
     var j = 0
     while (j < n) {
-      Hashes.simHashAccum(Hashes.md5Hash64(arr.getUTF8String(j).getBytes), acc)
+      // skip NULL elements — same contract as MinHashSig above
+      val e = arr.getUTF8String(j)
+      if (e != null) Hashes.simHashAccum(Hashes.md5Hash64(e.getBytes), acc)
       j += 1
     }
     Hashes.simHashFinish(acc)

@@ -55,12 +55,24 @@ object Lineage {
       import spark.implicits._
       Seq.empty[(Int, Long, Long, String)].toDF("partitionId", "rows", "bytes", "batchId")
     } else
-      spark.read.json(d.toString).selectExpr(
+      // glob ONLY the sealed markers: a crash between the tmp write and
+      // the atomic move leaves p*.json.tmp behind, and a directory read
+      // would ingest it as a duplicate (or torn) lineage entry
+      spark.read.json(d.resolve("p*.json").toString).selectExpr(
         "cast(partitionId as int) partitionId", "cast(rows as long) rows",
         "cast(bytes as long) bytes", "batchId")
   }
 
+  /** batchIds are interpolated into marker JSON and staging paths:
+    * restrict to a filesystem- and JSON-safe charset so a quote can't
+    * corrupt the marker and a '/' can't redirect the staging dir.
+    */
+  private def requireSafeBatchId(batchId: String): Unit =
+    require(batchId.matches("[A-Za-z0-9._=-]+"),
+      s"batchId must match [A-Za-z0-9._=-]+, got '$batchId'")
+
   private def writeMarker(root: String, e: Entry): Unit = {
+    requireSafeBatchId(e.batchId)
     val dir = lineageDir(root)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s"p${e.partitionId}.json.tmp")
@@ -85,6 +97,7 @@ object Lineage {
   def run(df: DataFrame, root: String, nBuckets: Int, batchId: String,
       keyCol: String = "conv_id",
       maxBucketsToCommit: Int = Int.MaxValue): Int = {
+    requireSafeBatchId(batchId)
     val spark = df.sparkSession
     val done = committed(root)
     val bucketed = df.withColumn(BucketCol, pmod(hash(col(keyCol)), lit(nBuckets)))
@@ -115,9 +128,13 @@ object Lineage {
         spark.read.parquet(staging.toString)
           .groupBy(col(BucketCol).cast("int").as(BucketCol))
           // coalesce: a bucket whose rows all have NULL text sums to NULL
-          // and must commit with bytes=0, not crash the getLong
+          // and must commit with bytes=0, not crash the getLong; frames
+          // WITHOUT a text column (the API is otherwise schema-generic)
+          // record bytes=0 rather than failing after the staging write
           .agg(count(lit(1)).as("rows"),
-            coalesce(sum(octet_length(col("text"))), lit(0L)).as("bytes"))
+            (if (df.columns.contains("text"))
+               coalesce(sum(octet_length(col("text"))), lit(0L))
+             else lit(0L)).as("bytes"))
           .collect()
           .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       else Map.empty[Int, (Long, Long)] // empty write = nothing left to commit
@@ -149,7 +166,15 @@ object Lineage {
     * scanned to be CONSISTENT with that listing rather than with a
     * second, later one.
     */
-  def readData(spark: SparkSession, root: String, buckets: Set[Int]): DataFrame =
+  def readData(spark: SparkSession, root: String, buckets: Set[Int]): DataFrame = {
+    // an empty path list would surface as an obscure schema-inference
+    // AnalysisException; the data schema is unknowable here, so fail
+    // with the actual contract (callers with an empty-ok path guard on
+    // committed(root).nonEmpty, as AdminServer does)
+    require(buckets.nonEmpty,
+      s"no committed buckets under $root — nothing to read " +
+        "(guard with committed(root).nonEmpty for an empty-ok caller)")
     spark.read.parquet(
       buckets.toSeq.sorted.map(b => dataDir(root, b).toString): _*)
+  }
 }

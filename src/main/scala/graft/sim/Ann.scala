@@ -197,8 +197,14 @@ object Ann {
       // bucket has no workable within-bucket join anyway) — plain join,
       // not an error, so the Long-typed API accepts any cap
       if (maxBucketOccupancy >= Int.MaxValue) {
+        // threshold INSIDE the join condition, after the cheap id test —
+        // left as a post-join filter Catalyst pushes it into the
+        // condition ANDed FIRST, evaluating the O(dim) cosine for BOTH
+        // orderings of every same-bucket pair (the exact pathology the
+        // semDedup join documents and avoids)
         b.as("a").join(b.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+              CosineSim(col("a.v"), col("b.v")) >= threshold)
           .select(col("a.id").as("ida"), col("a.v").as("va"),
             col("b.id").as("idb"), col("b.v").as("vb"))
       } else {
@@ -213,11 +219,14 @@ object Ann {
           .select(col("a.id").as("ida"), col("a.v").as("va"),
             col("b.id").as("idb"), col("b.v").as("vb"))
       }
-    paired
-      .withColumn("sim", CosineSim(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select(col("ida").as("id_a"), col("idb").as("id_b"),
-        round(col("sim"), 4).as("sim"))
+    val sims = paired.withColumn("sim", CosineSim(col("va"), col("vb")))
+    // the uncapped branch already applied the threshold INSIDE the join;
+    // re-filtering would push a SECOND cosine into the condition
+    val kept =
+      if (maxBucketOccupancy >= Int.MaxValue) sims
+      else sims.filter(col("sim") >= threshold)
+    kept.select(col("ida").as("id_a"), col("idb").as("id_b"),
+      round(col("sim"), 4).as("sim"))
   }
 
   /** L2 normalization of an embedding column — the standard preprocessing
@@ -341,26 +350,49 @@ object Ann {
     // far more iterations over a hot corpus can persist `df` itself.
     val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val quant = transform(col("v"), x => round(x * lit(1000000.0)).cast("long"))
+    // uniform dimensionality is the quantizer contract; validate it on
+    // every driver-collected seed (a ragged corpus vector would
+    // otherwise surface as a bare ArrayIndexOutOfBounds in the sum-apply)
+    def checkDim(q: Array[Long]): Array[Long] = {
+      require(q.length == dim,
+        s"k-means requires uniform $dim-dim vectors, found length ${q.length}")
+      q
+    }
     var cents: Array[Array[Long]] = init match {
       case "first" =>
         v.orderBy("id").limit(k)
           .select(quant.as("q")).collect()
-          .map(_.getSeq[Long](0).toArray)
+          .map(r => checkDim(r.getSeq[Long](0).toArray))
       case "farthest" =>
         // maximin: each pass is one corpus scan reducing to ONE row (the
         // argmin of max-cosine-to-seeds, ties → lower id) — k−1 bounded
-        // jobs, no shuffle beyond the single-row sort-limit
+        // jobs, no shuffle beyond the single-row sort-limit. Chosen seeds
+        // are EXCLUDED from the scan: an already-picked vector has
+        // max-cosine 1.0 and would be re-picked as soon as the corpus
+        // has fewer than k distinct directions, silently duplicating a
+        // centroid where init="first" correctly fails the length check.
+        val seedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val first = v.orderBy("id").limit(1)
+          .select(col("id"), quant.as("q"), col("v")).collect()
+          .headOption.getOrElse(throw new IllegalArgumentException("empty corpus"))
+        seedIds += first.getLong(0)
         val seeds = scala.collection.mutable.ArrayBuffer(
-          v.orderBy("id").limit(1).select(quant.as("q"), col("v")).collect()
-            .map(r => (r.getSeq[Long](0).toArray, r.getSeq[Double](1).toArray))
-            .headOption.getOrElse(throw new IllegalArgumentException("empty corpus")))
-        while (seeds.length < k) {
+          (checkDim(first.getSeq[Long](1).toArray), first.getSeq[Double](2).toArray))
+        var exhausted = false
+        while (seeds.length < k && !exhausted) {
           val maxSim = seeds.map { case (_, sv) =>
             CosineSim(col("v"), typedLit(sv.toSeq).cast("array<double>"))
           }.reduce((a, b) => greatest(a, b))
-          val next = v.select(col("id"), quant.as("q"), col("v"))
-            .orderBy(maxSim.asc, col("id").asc).limit(1).collect().head
-          seeds += ((next.getSeq[Long](1).toArray, next.getSeq[Double](2).toArray))
+          v.filter(!col("id").isin(seedIds.toSeq: _*))
+            .select(col("id"), quant.as("q"), col("v"))
+            .orderBy(maxSim.asc, col("id").asc).limit(1).collect()
+            .headOption match {
+            case Some(next) =>
+              seedIds += next.getLong(0)
+              seeds += ((checkDim(next.getSeq[Long](1).toArray),
+                next.getSeq[Double](2).toArray))
+            case None => exhausted = true
+          }
         }
         seeds.map(_._1).toArray
       case other =>
@@ -371,6 +403,11 @@ object Ann {
       val sums = v
         .withColumn("cluster", element_at(kmeansCells(col("v"), cents, 1), 1))
         .select(col("cluster"), posexplode(quant))
+        // dim bound: a ragged LONGER vector would index past the
+        // centroid arrays in the apply below (the contract is uniform
+        // dim; this turns a corrupt row into a bounded contribution
+        // instead of a bare ArrayIndexOutOfBounds mid-aggregation)
+        .filter(col("pos") < dim)
         .groupBy("cluster", "pos").agg(sum(col("col")).as("s"))
         .collect() // bounded: k×dim rows — the quantizer, not the data
       val next = Array.tabulate(k)(c => cents(c).clone()) // empty cluster → keep

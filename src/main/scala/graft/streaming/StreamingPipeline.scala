@@ -211,8 +211,14 @@ object StreamingPipeline {
       tsCol: String = "ts", horizon: String = "1 hour"): DataFrame =
     turns
       .withColumn("_dk0", xxhash64(col(textCol)))
-      // second lane: same function, extra salt column → independent hash
-      .withColumn("_dk1", xxhash64(col(textCol), lit(0x9E3779B97F4A7C15L)))
+      // second lane: SALT FIRST. Spark's multi-arg xxhash64 folds left to
+      // right with the running hash as the next seed, so
+      // xxhash64(text, salt) = F(xxhash64(text)) — a deterministic
+      // function of lane 0 that collides whenever lane 0 does (64-bit
+      // resistance wearing a 128-bit label). Hashing the salt first
+      // gives the text an independent effective seed, so the composite
+      // key's collision odds really are ~n²/2¹²⁹.
+      .withColumn("_dk1", xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("_dk0", "_dk1")
       .drop("_dk0", "_dk1")
@@ -247,9 +253,28 @@ object StreamingPipeline {
       val sec = math.max(e.progress.batchDuration / 1000.0, 1e-3)
       m.synchronized { m.update(sec, e.progress.numInputRows / sec) }
     }
-    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    // retire terminated meters through a BOUNDED window: immediate
+    // removal would erase the final reading an admin poll of a
+    // just-completed query legitimately wants (terminate events race
+    // ahead of the poll), but keeping every UUID forever is an
+    // unbounded leak on exactly the long-lived-driver path this
+    // listener serves — so the last `RetainTerminated` finished
+    // queries stay readable and older ones age out FIFO
+    private val retired = new java.util.concurrent.ConcurrentLinkedQueue[java.util.UUID]()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      retired.add(e.id)
+      while (retired.size > SpeedListener.RetainTerminated) {
+        val old = retired.poll()
+        if (old != null) meters.remove(old)
+      }
+    }
     def speedFor(id: java.util.UUID): Double =
       Option(meters.get(id)).map(_.value).getOrElse(0.0)
+  }
+
+  object SpeedListener {
+    /** Terminated queries whose final meter stays readable. */
+    val RetainTerminated = 64
   }
 
   def attachSpeedListener(spark: SparkSession): SpeedListener = {

@@ -297,4 +297,18 @@ class DedupSpec extends SparkTestBase {
       assert(got(1000L + i) == expect, s"batch doc $i")
     }
   }
+
+  test("MinHashSig/SimHash64 skip NULL array elements instead of NPE-ing mid-codegen") {
+    // array(lit, lit-null) produces containsNull = true input
+    val df = Seq(1).toDF("x").select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("withNulls"),
+      array(lit("a"), lit("b")).as("clean"))
+    val r = df.select(
+      MinHashSig(col("withNulls"), 8).as("m1"),
+      MinHashSig(col("clean"), 8).as("m2"),
+      SimHash64(col("withNulls")).as("s1"),
+      SimHash64(col("clean")).as("s2")).collect()(0)
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1), "null elements contribute nothing")
+    assert(r.getLong(2) == r.getLong(3))
+  }
 }

@@ -80,4 +80,46 @@ class LineageSpec extends SparkTestBase {
     assert(again == 0)
     assert(Lineage.readData(spark, root).count() == turns.count())
   }
+
+  test("a stale .tmp marker (crash between write and atomic move) is never read as a lineage entry") {
+    val root = freshRoot()
+    Lineage.run(turns, root, nBuckets = 4, batchId = "b1")
+    val entriesBefore = Lineage.readEntries(spark, root).collect().toSet
+    // simulate the crash residue: a COMPLETE tmp (worst case — it parses)
+    val dir = java.nio.file.Paths.get(root, "lineage")
+    Files.writeString(dir.resolve("p0.json.tmp"),
+      """{"partitionId":0,"rows":999999,"bytes":999999,"batchId":"ghost"}""")
+    // and a torn one
+    Files.writeString(dir.resolve("p1.json.tmp"), """{"partitionId":1,"ro""")
+    val entriesAfter = Lineage.readEntries(spark, root).collect().toSet
+    assert(entriesAfter == entriesBefore,
+      "tmp markers must not double-count or corrupt lineage aggregates")
+  }
+
+  test("readData on a fresh root fails with the contract error, not a schema-inference exception") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException](Lineage.readData(spark, root))
+    assert(e.getMessage.contains("no committed buckets"))
+  }
+
+  test("batchIds are confined to a path- and JSON-safe charset") {
+    val root = freshRoot()
+    val e1 = intercept[IllegalArgumentException](
+      Lineage.run(turns, root, nBuckets = 2, batchId = "b\"quote"))
+    assert(e1.getMessage.contains("batchId"))
+    intercept[IllegalArgumentException](
+      Lineage.run(turns, root, nBuckets = 2, batchId = "../escape"))
+  }
+
+  test("a frame without a text column commits with bytes=0 instead of failing after staging") {
+    val root = freshRoot()
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (s"c${i % 7}", i)).toDF("conv_id", "n")
+    val n = Lineage.run(df, root, nBuckets = 4, batchId = "b1")
+    assert(n > 0)
+    val entries = Lineage.readEntries(spark, root)
+    assert(entries.agg(sum("rows")).collect()(0).getLong(0) == 40L)
+    assert(entries.agg(sum("bytes")).collect()(0).getLong(0) == 0L)
+    assert(Lineage.readData(spark, root).count() == 40L)
+  }
 }

@@ -316,4 +316,21 @@ class AnnSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "no cartesian")
     assert(!plan.contains("BroadcastNestedLoop"), "no nested-loop join")
   }
+
+  test("kmeans guards: farthest init never duplicates seeds; ragged vectors fail loudly") {
+    import spark.implicits._
+    // 2 distinct vectors, k = 3: must FAIL like init="first", not
+    // silently duplicate a centroid (a re-picked seed has cosine 1.0)
+    val tiny = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Ann.kmeansCentroids(tiny, k = 3, iters = 1, dim = 2, init = "farthest"))
+    assert(e1.getMessage.contains("fewer than k"))
+    // a ragged seed vector surfaces as the dim contract, not a bare AIOOBE
+    val ragged = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      Ann.kmeansCentroids(ragged, k = 2, iters = 1, dim = 2))
+    assert(e2.getMessage.contains("uniform"))
+  }
 }
