@@ -128,7 +128,7 @@ final class AdminServer(name: String = "graft", version: String = "3") {
     val cb = callbacks.get(path)
     if (cb != null) {
       if (method != "POST")
-        (405, s"""{"error":"callback entries are POST-only: ${path}"}""")
+        (405, s"""{"error":${quote(s"callback entries are POST-only: $path")}}""")
       else
         try (200, s"""{"result":${quote(cb(parseForm(rawForm)))}}""")
         catch { case e: Exception => (500, s"""{"error":${quote(e.toString)}}""") }
@@ -145,7 +145,7 @@ final class AdminServer(name: String = "graft", version: String = "3") {
           .map(_.substring(prefix.length).split('/').head)
           .toSeq.distinct.sorted
         if (children.nonEmpty) (200, mapper.writeValueAsString(children))
-        else (404, s"""{"error":"no such admin entry: ${path}"}""")
+        else (404, s"""{"error":${quote(s"no such admin entry: $path")}}""")
       }
     }
   }
@@ -214,8 +214,11 @@ object AdminServer {
           val fresh: Map[String, Any] = graft.route.Router.sinkCounts(
               graft.lineage.Lineage.readData(spark, outputRoot, committed))
             .collect() // bounded: one row per sink
+            // bytes is sum(octet_length(text)): NULL when every committed
+            // row of a sink has null text — report 0, not a 500 per poll
             .map(r => r.getString(0) -> (Map(
-              "turns" -> r.getLong(1), "bytes" -> r.getLong(2)): Any))
+              "turns" -> r.getLong(1),
+              "bytes" -> (if (r.isNullAt(2)) 0L else r.getLong(2))): Any))
             .toMap
           sinksCache.set((committed, fresh))
           fresh

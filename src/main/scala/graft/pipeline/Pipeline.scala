@@ -149,6 +149,9 @@ case class GrokStage(field: String, patterns: Seq[String],
         .otherwise(col(Envelope.FieldsCol)))
     out = Pipeline.addError(out, guard && merged.isNull && src.isNotNull,
       "grok", s"Field '$field' did not match any of the given patterns")
+    // the reference tags a MISSING source field too (actiongrok.go:70)
+    out = Pipeline.addError(out, guard && src.isNull,
+      "grok", s"Field '$field' is not present or not a string")
     if (remove) out = Pipeline.unsetField(out, matchedGuard, field)
     out
   }
@@ -202,12 +205,22 @@ case class KvStage(field: String, prefix: String = "") extends Stage {
     val prefixed =
       if (prefix.isEmpty) parsed
       else transform_keys(parsed, (k, _) => concat(prefixCol, k))
-    val ok = guard && parsed.isNotNull
+    // a %{+layout} prefix over a null event_ts renders NULL: applying it
+    // would make every map key null (a runtime abort); the reference
+    // AddErrors "Failed to format prefix" per event and skips the kv
+    // (actionkv.go:79)
+    val prefixOk = if (prefix.isEmpty) lit(true) else prefixCol.isNotNull
+    val ok = guard && parsed.isNotNull && prefixOk
     var out = df.withColumn(Envelope.FieldsCol,
       when(ok, Pipeline.mergeMaps(col(Envelope.FieldsCol), prefixed))
         .otherwise(col(Envelope.FieldsCol)))
     out = Pipeline.addError(out, guard && parsed.isNull && src.isNotNull,
       "kv", "Parsing interrupted")
+    // the reference tags a MISSING source field too (actionkv.go:73)
+    out = Pipeline.addError(out, guard && src.isNull,
+      "kv", s"Field '$field' is not present or not a string")
+    out = Pipeline.addError(out, guard && parsed.isNotNull && !prefixOk,
+      "kv", "Failed to format prefix")
     out
   }
 }
@@ -312,6 +325,13 @@ case class FilterStage(patterns: Seq[String], matchMode: String = "any",
   * are evaluated per-branch with all prior branches excluded, vectorised
   * over the whole frame. Null predicate = false.
   */
+object ConditionalStage {
+  // nested conditionals (an if inside a branch) each need their OWN
+  // frozen-predicate columns: a fixed naming scheme let the inner stage
+  // overwrite and then drop the outer's temp columns
+  private val tmpCtr = new java.util.concurrent.atomic.AtomicLong()
+}
+
 case class ConditionalStage(
     branches: Seq[(String, Seq[Stage])],
     otherwiseStages: Seq[Stage] = Seq.empty) extends Stage {
@@ -321,7 +341,8 @@ case class ConditionalStage(
     // branch's actions run, `ast.go:62-87`) — freeze all predicates as
     // temp columns against the input frame so branch mutations cannot
     // flip later predicates for already-selected rows.
-    val tmpNames = branches.indices.map(i => s"_graft_cond_$i")
+    val base = ConditionalStage.tmpCtr.getAndIncrement()
+    val tmpNames = branches.indices.map(i => s"_graft_cond_${base}_$i")
     var out = branches.zip(tmpNames).foldLeft(df) { case (d, ((celSrc, _), n)) =>
       d.withColumn(n, coalesce(Cel.compile(celSrc, Pipeline.resolve(d), Pipeline.typeOf(d)), lit(false)))
     }

@@ -258,7 +258,7 @@ object QueriesR2 {
     s"""SELECT 'logs_' || event_type || '_' || strftime(ts, '%Y.%m.%d') AS table_name,
        |  count(*) AS n
        |FROM events
-       |WHERE date_trunc('day', ts) > date_trunc('day', (SELECT max(ts) FROM events))
+       |WHERE date_trunc('day', ts) >= date_trunc('day', (SELECT max(ts) FROM events))
        |  - INTERVAL $RetentionDays DAY
        |GROUP BY 1 ORDER BY table_name""".stripMargin
 }

@@ -45,8 +45,9 @@ object Router {
   def stripMeta(df: DataFrame): DataFrame =
     df.drop(df.columns.filter(_.startsWith(Envelope.MetaPrefix)).toSeq: _*)
 
-  /** Single-pass partitioned write of an assigned frame. Returns the
-    * per-sink aggregate frame (computed on the same assigned data).
+  /** Single-pass partitioned write of an assigned frame plus the schema
+    * manifest. Aggregates are a separate call ([[aggregates]]) — callers
+    * that want both from one scan cache/persist `assigned` themselves.
     */
   def write(assigned: DataFrame, outDir: String): Unit = {
     stripMeta(assigned)
@@ -71,8 +72,14 @@ object Router {
     }.mkString(",")
     val json =
       s"""{"index_patterns":["$SinkCol=*"],"version":1,"mappings":{"properties":{$fields}}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, "_template.json"), json)
+    // write through the Hadoop filesystem of the OUTPUT path — the data
+    // write just went through Spark's path handling, so a URI-style
+    // outDir (file://, hdfs://, s3a://) must not make the manifest write
+    // fail with a local NoSuchFileException after the data materialized
+    val path = new org.apache.hadoop.fs.Path(outDir, "_template.json")
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** Per-sink aggregates — the north rule's verification surface and the
@@ -98,10 +105,16 @@ object Router {
   def dorisProjection(df: DataFrame, mappedFields: Seq[String],
       restColumn: String = "rest"): DataFrame = {
     val cols = df.columns.filterNot(_ == Envelope.FieldsCol).map(col).toSeq
-    val mapped = mappedFields.map(f =>
-      element_at(col(Envelope.FieldsCol), f).as(f))
+    // normalize bracket-syntax names ("a[b]" → "a.b") like every other
+    // fields-map consumer: pipeline stages STORE keys normalized, so an
+    // unnormalized lookup silently yields a null column while the real
+    // value hides in the rest JSON
+    val keys = mappedFields.map(f => f -> graft.pipeline.Pipeline.normalizePath(f))
+    val mapped = keys.map { case (orig, k) =>
+      element_at(col(Envelope.FieldsCol), k).as(orig) }
     val rest = to_json(
-      map_filter(col(Envelope.FieldsCol), (k, _) => !mappedFields.foldLeft(lit(false))((a, f) => a || k === f))
+      map_filter(col(Envelope.FieldsCol),
+        (k, _) => !keys.foldLeft(lit(false))((a, kk) => a || k === kk._2))
     ).as(restColumn)
     df.select(cols ++ mapped :+ rest: _*)
   }
@@ -127,7 +140,10 @@ object Router {
     * within `retentionDays` of `now`'s day.
     */
   def retentionFilter(ts: Column, retentionDays: Int, now: Column): Column =
-    date_trunc("DAY", ts).cast("date") >
+    // >= : Doris dynamic_partition.start=-N deletes partitions whose
+    // range ends BEFORE today-N, i.e. the day exactly N old is KEPT
+    // (tablemanager.go:246); a strict > silently discarded that day
+    date_trunc("DAY", ts).cast("date") >=
       date_sub(date_trunc("DAY", now).cast("date"), retentionDays)
 
   /** The Doris tableManager's create-table-with-day-partitions analog

@@ -38,9 +38,18 @@ object Sources {
     * newline advances by its bytes only, so resuming at the recorded
     * offset re-reads nothing and skips nothing. CRLF lines strip the
     * `\r` from `text` but count it in the offset (it was consumed).
+    *
+    * `maxLineBytes` bounds the per-line buffer — WITHOUT it a single
+    * newline-free input (a binary file piped to stdin) accumulates the
+    * whole stream in one driver-side buffer, defeating the O(batch)
+    * claim. An oversized line splits into rune-safe chunks of at most
+    * `maxLineBytes`+3 bytes, each its own row — the LineReader splitline
+    * behavior (`linereader.go`); offsets keep counting consumed bytes,
+    * so registrar math is unchanged.
     */
   def spoolStdin(spark: SparkSession, in: InputStream, spoolDir: String,
-      batchLines: Int = 1 << 16, parallelism: Int = 8): Int = {
+      batchLines: Int = 1 << 16, parallelism: Int = 8,
+      maxLineBytes: Int = 1 << 20): Int = {
     import spark.implicits._
     // hand-rolled buffer (not BufferedInputStream): the spool loop is the
     // single-threaded ingest hot path, and a synchronized virtual read()
@@ -59,18 +68,27 @@ object Sources {
     var off = 0L
     var chunks = 0
     var eof = false
+    var carry = -2 // first byte of the rune that overflowed the cap (-2 = none)
     while (!eof) {
       val batch = new scala.collection.mutable.ArrayBuffer[(String, Long)](
         math.min(batchLines, 1 << 16))
       while (!eof && batch.size < batchLines) {
-        var b = nextByte()
+        var b = if (carry != -2) { val c = carry; carry = -2; c } else nextByte()
         if (b == -1) eof = true
         else {
           val bout = new java.io.ByteArrayOutputStream(256)
-          while (b != -1 && b != '\n') { bout.write(b); b = nextByte() }
+          var split = false
+          while (b != -1 && b != '\n' && !split) {
+            // cap with rune-safe overhang: continuation bytes (10xxxxxx)
+            // may finish the current rune past the cap (≤ 3 bytes); the
+            // first lead byte at/after the cap starts the next chunk
+            if (bout.size >= maxLineBytes && (b & 0xc0) != 0x80) {
+              split = true; carry = b
+            } else { bout.write(b); b = nextByte() }
+          }
           val raw = bout.toByteArray
-          val terminated = b == '\n'
-          if (!terminated) eof = true
+          val terminated = b == '\n' && !split
+          if (!terminated && !split) eof = true
           off += raw.length + (if (terminated) 1 else 0)
           val textLen =
             if (terminated && raw.nonEmpty && raw(raw.length - 1) == '\r') raw.length - 1

@@ -102,4 +102,47 @@ class PipelineSpec extends SparkTestBase {
       .select(element_at(col(Envelope.FieldsCol), "reenc")).collect()(0).getString(0)
     assert(enc == "[]") // tags empty at that point; encoded as JSON array
   }
+
+  test("nested conditionals keep their own frozen predicates (no temp-column collision)") {
+    val out = Pipeline(base, Seq(
+      ConditionalStage(
+        branches = Seq(
+          ("""event.text.contains("=")""", Seq(
+            AddTagStage("outer_kv"),
+            ConditionalStage(
+              branches = Seq(
+                ("""event.text.contains("error")""", Seq(AddTagStage("inner_error")))),
+              otherwiseStages = Seq(AddTagStage("inner_other")))))),
+        otherwiseStages = Seq(AddTagStage("outer_plain")))))
+    val got = out.select(col("conv_id"), col("turn_idx"),
+        array_join(col(Envelope.TagsCol), ",")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got(("c1", 0)) == "inner_error,outer_kv", s"got $got")
+    assert(got(("c1", 1)) == "outer_plain")
+    assert(got(("c2", 0)) == "outer_plain")
+  }
+
+  test("grok and kv tag a MISSING source field like the reference (actiongrok.go:70, actionkv.go:73)") {
+    val out = Pipeline(base, Seq(
+      GrokStage("not_there", Seq("%{WORD:w}")),
+      KvStage("also_missing")))
+    val tags = out.select(array_join(col(Envelope.TagsCol), ",")).collect()
+      .map(_.getString(0))
+    assert(tags.forall(t => t.contains("_grok_failure") && t.contains("_kv_failure")),
+      s"missing source fields must tag failures, got ${tags.toSeq}")
+    val errs = out.select(
+        element_at(col(Envelope.FieldsCol), "_grok_error")).collect()
+    assert(errs.forall(_.getString(0).contains("not present")))
+  }
+
+  test("kv with a %{+date} prefix over a NULL timestamp tags a failure instead of aborting on null map keys") {
+    val withNullTs = Seq(
+      ("c9", 0, "user", "a=1 b=2", "none", null.asInstanceOf[java.sql.Timestamp])
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Pipeline(withNullTs, Seq(KvStage("text", prefix = "%{+2006.01.02}_")))
+    val r = out.select(array_join(col(Envelope.TagsCol), ","),
+      map_contains_key(col(Envelope.FieldsCol), "a")).collect()(0)
+    assert(r.getString(0).contains("_kv_failure"), "null prefix must tag, not crash")
+    assert(!r.getBoolean(1), "kv fields must not apply under a failed prefix")
+  }
 }

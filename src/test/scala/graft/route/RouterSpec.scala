@@ -96,4 +96,31 @@ class RouterSpec extends SparkTestBase {
     val dec = Enrich.withStaticFields(df, Map("dc" -> "eu-1", "env" -> "prod"))
     assert(dec.select("dc", "env").distinct().collect()(0).toSeq == Seq("eu-1", "prod"))
   }
+
+  test("retention keeps the day EXACTLY retentionDays old (Doris start=-N semantics)") {
+    import spark.implicits._
+    val now = java.sql.Timestamp.valueOf("2026-01-15 12:00:00")
+    val df = Seq(
+      ("keep_edge", java.sql.Timestamp.valueOf("2026-01-01 23:59:59")), // exactly 14 days
+      ("keep_new",  java.sql.Timestamp.valueOf("2026-01-15 00:00:01")),
+      ("drop_old",  java.sql.Timestamp.valueOf("2025-12-31 23:59:59"))  // 15 days
+    ).toDF("k", "ts")
+    val kept = df.filter(Router.retentionFilter(col("ts"), 14, lit(now)))
+      .select("k").as[String].collect().toSet
+    assert(kept == Set("keep_edge", "keep_new"),
+      s"dynamic_partition.start=-14 retains the day 14 old; got $kept")
+  }
+
+  test("dorisProjection normalizes bracket-syntax mapped fields like every other path consumer") {
+    import spark.implicits._
+    val df = Seq(("r1", Map("user_agent.name" -> "Firefox", "other" -> "x")))
+      .toDF("id", graft.model.Envelope.FieldsCol)
+    val out = Router.dorisProjection(df, Seq("user_agent[name]"))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("user_agent[name]") == "Firefox",
+      "bracket path must hit the normalized key")
+    assert(!r.getAs[String]("rest").contains("Firefox"),
+      "a mapped field must not also ride in the rest JSON")
+    assert(r.getAs[String]("rest").contains("other"))
+  }
 }

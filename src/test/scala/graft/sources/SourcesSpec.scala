@@ -112,4 +112,25 @@ class SourcesSpec extends SparkTestBase {
       assert(texts == (1 to 5).map(i => s"line $i").toSet)
     } finally q.stop()
   }
+
+  test("spoolStdin caps newline-free input into rune-safe chunks (no unbounded line buffer)") {
+    // 10 KB with no newline, multi-byte runes throughout, tiny cap: the
+    // driver buffer must stay O(cap) and chunks must decode cleanly
+    val rune = "abc\u65e5" // 3 ASCII + 3-byte CJK = 6 bytes
+    val payload = rune * 1700 // ~10.2 KB, no newline anywhere
+    val in = new java.io.ByteArrayInputStream(payload.getBytes("UTF-8"))
+    val spoolDir = java.nio.file.Files.createTempDirectory("graft-longline").toString + "/spool"
+    Sources.spoolStdin(spark, in, spoolDir, batchLines = 64, parallelism = 2,
+      maxLineBytes = 1024)
+    val rows = spark.read.parquet(spoolDir)
+      .orderBy("offset").collect()
+    val texts = rows.map(_.getAs[String]("text"))
+    assert(texts.length >= 9, s"10 KB at a 1 KB cap must split, got ${texts.length} rows")
+    assert(texts.forall(t => t.getBytes("UTF-8").length <= 1024 + 3),
+      "chunks must respect the cap (+3-byte rune overhang)")
+    assert(!texts.exists(_.contains("\ufffd")), "splits must land on rune boundaries")
+    assert(texts.mkString == payload, "chunks must reassemble the exact input")
+    // registrar math: the last offset equals total consumed bytes
+    assert(rows.map(_.getAs[Long]("offset")).max == payload.getBytes("UTF-8").length)
+  }
 }
