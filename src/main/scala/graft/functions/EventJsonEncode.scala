@@ -92,7 +92,11 @@ case class EventJsonEncode(child: Expression) extends UnaryExpression {
         val jarr = node.putArray(f.name)
         var j = 0
         while (j < arr.numElements()) {
-          elem match {
+          // element nulls: the map and struct branches check them; an
+          // unchecked array slot NPE'd on strings and silently encoded
+          // numeric nulls as 0 — JSON null is the faithful wire form
+          if (arr.isNullAt(j)) jarr.addNull()
+          else elem match {
             case StringType => jarr.add(arr.getUTF8String(j).toString)
             case LongType => jarr.add(arr.getLong(j))
             case IntegerType => jarr.add(arr.getInt(j))
@@ -191,8 +195,12 @@ object EventJsonEncode {
     val frac = Math.floorMod(micros, 1000000L)
     val base = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-    // ISO_LOCAL_DATE_TIME omits :00 seconds; RFC3339 requires them
-    val withSecs = if (base.length == 16) base + ":00" else base
+    // ISO_LOCAL_DATE_TIME omits :00 seconds; RFC3339 requires them.
+    // Detect the omission STRUCTURALLY (time part "HH:mm" = 5 chars
+    // after 'T') — a total-length check broke for 5-digit or negative
+    // years ("+10000-...", "-0044-..."), emitting no seconds field
+    val withSecs =
+      if (base.length - base.lastIndexOf('T') - 1 == 5) base + ":00" else base
     if (frac == 0L) withSecs + "Z"
     else {
       var f = f"$frac%06d"

@@ -67,7 +67,12 @@ object UserAgentParse {
   //     bots/tools before Edge/Opera before Chrome before Safari) ---
   private val BotRe = Pattern.compile(
     "(Googlebot|Bingbot|bingbot|YandexBot|Baiduspider|DuckDuckBot|AhrefsBot|SemrushBot)(?:-\\w+)?/(\\d+)(?:\\.(\\d+))?(?:\\.(\\d+))?")
-  private val GenericBotRe = Pattern.compile("(?i)(bot|spider|crawler)[/ );]")
+  // uap-core's generic-spider signal is CASE-TEMPLATED ([Bb]ot, [Ss]pider,
+  // [Cc]rawl...), NOT case-insensitive: an all-caps brand like
+  // "CUBOT KINGKONG" must not classify as a bot (the (?i) spelling turned
+  // that real phone's Chrome into family=Other/device=Spider), while
+  // suffix forms like Googlebot/ still match
+  private val GenericBotRe = Pattern.compile("([Bb]ot|[Ss]pider|[Cc]rawl[a-z]*)[/ );]")
   private val CurlRe = Pattern.compile("^curl/(\\d+)(?:\\.(\\d+))?(?:\\.(\\d+))?")
   private val WgetRe = Pattern.compile("^Wget/(\\d+)(?:\\.(\\d+))?(?:\\.(\\d+))?")
   private val PythonReqRe = Pattern.compile("^python-requests/(\\d+)(?:\\.(\\d+))?(?:\\.(\\d+))?")
@@ -117,22 +122,28 @@ object UserAgentParse {
         take(EdgeRe.matcher(ua), "Edge") ||
         take(OperaRe.matcher(ua), "Opera") ||
         take(ChromeIosRe.matcher(ua), "Chrome Mobile iOS") ||
-        (ChromeRe.matcher(ua).find() && {
-          val m = ChromeRe.matcher(ua); m.find()
-          name = if (ua.contains("Mobile")) "Chrome Mobile" else "Chrome"
-          major = m.group(1); minor = m.group(2); patch = m.group(3); true
-        }) ||
+        {
+          val m = ChromeRe.matcher(ua)
+          m.find() && {
+            name = if (ua.contains("Mobile")) "Chrome Mobile" else "Chrome"
+            major = m.group(1); minor = m.group(2); patch = m.group(3); true
+          }
+        } ||
         take(FirefoxIosRe.matcher(ua), "Firefox iOS") ||
-        (FirefoxRe.matcher(ua).find() && {
-          val m = FirefoxRe.matcher(ua); m.find()
-          name = if (ua.contains("Mobile") || ua.contains("Tablet")) "Firefox Mobile" else "Firefox"
-          major = m.group(1); minor = m.group(2); patch = m.group(3); true
-        }) ||
-        (SafariVersionRe.matcher(ua).find() && {
-          val m = SafariVersionRe.matcher(ua); m.find()
-          name = if (ua.contains("Mobile/")) "Mobile Safari" else "Safari"
-          major = m.group(1); minor = m.group(2); patch = m.group(3); true
-        }) ||
+        {
+          val m = FirefoxRe.matcher(ua)
+          m.find() && {
+            name = if (ua.contains("Mobile") || ua.contains("Tablet")) "Firefox Mobile" else "Firefox"
+            major = m.group(1); minor = m.group(2); patch = m.group(3); true
+          }
+        } ||
+        {
+          val m = SafariVersionRe.matcher(ua)
+          m.find() && {
+            name = if (ua.contains("Mobile/")) "Mobile Safari" else "Safari"
+            major = m.group(1); minor = m.group(2); patch = m.group(3); true
+          }
+        } ||
         take(MsieRe.matcher(ua), "IE") ||
         take(TridentRe.matcher(ua), "IE")
       if (!done) name = "Other"

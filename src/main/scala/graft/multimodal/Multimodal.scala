@@ -121,7 +121,10 @@ object Multimodal {
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("modality"),
-        encode(col("text"), "UTF-8").as("payload"),
+        // NULL-text documents become empty payloads: every downstream
+        // consumer (decode/resize/sampleFrames) dereferences payload,
+        // and a null would NPE the task mid-batch
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
         col("source"))
       .as[MediaRow]
   }

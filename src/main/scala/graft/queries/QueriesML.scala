@@ -337,18 +337,18 @@ object QueriesML {
   val qTextQualitySql: String = {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, text,
-       |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+       |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                w -> len(w) > 0) AS ws
        |  FROM documents)
        |SELECT doc_id,
        |  len(ws)::BIGINT AS ws_tokens,
        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens,
        |  CASE WHEN len(ws) = 0 THEN round(0.0, 4)
-       |       ELSE round(len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws), 4)
+       |       ELSE round(len(list_filter(ws, w -> lower(w) IN ($stops)))::DOUBLE / len(ws), 4)
        |  END AS stop_ratio,
        |  round((least(len(ws)::DOUBLE / 100.0, 1.0) +
        |    least((CASE WHEN len(ws) = 0 THEN 0.0
-       |           ELSE len(list_filter(ws, w -> w IN ($stops)))::DOUBLE / len(ws) END) * 4.0, 1.0) +
+       |           ELSE len(list_filter(ws, w -> lower(w) IN ($stops)))::DOUBLE / len(ws) END) * 4.0, 1.0) +
        |    (CASE WHEN len(text) = 0 THEN 0.0
        |     ELSE (len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / len(text) END)
        |   ) / 3.0, 4) AS quality
@@ -364,13 +364,12 @@ object QueriesML {
       .orderBy("doc_id")
   val qFingerprintSql: String =
     """SELECT doc_id,
-      |  CASE WHEN len(trim(text)) = 0 THEN 7
-      |  ELSE list_reduce(
+      |  list_reduce(
       |    list_prepend(7::BIGINT, list_transform(
-      |      regexp_split_to_array(trim(text), '\s+'),
+      |      list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |                  w -> len(w) > 0),
       |      w -> len(w) * 17 + ascii(substring(w, 1, 1)))),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007)
-      |  END AS fp
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -404,8 +403,9 @@ object QueriesML {
       .orderBy("bucket")
   }
   val qTokenHistSql: String =
-    """SELECT CAST(floor((CASE WHEN len(trim(text)) = 0 THEN 0
-      |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) / 50) * 50 AS BIGINT) AS bucket,
+    """SELECT CAST(floor(len(list_filter(
+      |      regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |      w -> len(w) > 0)) / 50) * 50 AS BIGINT) AS bucket,
       |  count(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
 

@@ -140,8 +140,8 @@ object QueriesR5 {
     val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(trim(text)) = 0 THEN []
-       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                w -> len(w) > 0) AS words
        |  FROM documents),
        |c AS (
        |  SELECT doc_id,
@@ -230,8 +230,8 @@ object QueriesR5 {
   val qChunkWindowsSql: String =
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(trim(text)) = 0 THEN []
-       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                w -> len(w) > 0) AS words
        |  FROM documents)
        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        |  CAST(least($ChunkWindow, len(words) - i * $ChunkStride) AS BIGINT) AS n_tokens,
@@ -247,8 +247,8 @@ object QueriesR5 {
   private def winsCte(k: Int): String =
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    CASE WHEN len(trim(text)) = 0 THEN []
-       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+       |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                w -> len(w) > 0) AS words
        |  FROM documents),
        |wins AS (
        |  SELECT doc_id, array_to_string(words[(i+1):(i+$k)], ' ') AS wtext
@@ -357,8 +357,10 @@ object QueriesR5 {
   }
   val qTfidfSql: String =
     """WITH words AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-      |  FROM documents WHERE len(trim(text)) > 0),
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+      |    w -> len(w) > 0)) AS term
+      |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
       |ranked AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,

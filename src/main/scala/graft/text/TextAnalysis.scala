@@ -11,19 +11,33 @@ object TextAnalysis {
 
   val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
-  /** Whitespace token count (empty text → 0). */
-  def wsTokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  /** Non-empty `\s+`-separated tokens of a text column — THE word
+    * spelling for every lattice in this module: split + drop-empties,
+    * NOT trim + split. Spark `trim` strips only U+0020, so a tab- or
+    * newline-led text under the trim spelling grows a phantom ""
+    * token (a bogus count, a real "" term row in tf/df, a corrupted
+    * chunk and fingerprint — the same bug repetitionStats documents
+    * and fixed in round 5, now fixed for every caller). NULL text is
+    * an empty token list, so the integer lattices stay integers
+    * instead of degrading to three-valued NULL logic.
+    */
+  def wsWords(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), w => length(w) > 0)
+
+  /** Whitespace token count (empty/NULL text → 0). */
+  def wsTokenCount(text: Column): Column = size(wsWords(text))
 
   /** BPE-ish token count: word pieces, number runs, or single symbols. */
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Stopword ratio over whitespace tokens. */
+  /** Stopword ratio over whitespace tokens — case-insensitive like
+    * [[gopherQuality]]'s treatment of the identical list (the
+    * case-sensitive spelling never counted sentence-initial "The").
+    */
   def stopwordRatio(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    val stops = filter(words, w => w.isin(Stopwords: _*))
+    val words = wsWords(text)
+    val stops = filter(words, w => lower(w).isin(Stopwords: _*))
     when(size(words) === 0, lit(0.0))
       .otherwise(size(stops).cast("double") / size(words))
   }
@@ -34,11 +48,16 @@ object TextAnalysis {
       .otherwise((length(text) - length(regexp_replace(text, "[A-Za-z]", "")))
         .cast("double") / length(text))
 
-  /** Mean whitespace-token length. */
+  /** Mean whitespace-token length — summed per token, never derived
+    * from the total length (the `(len - (n-1)) / n` spelling assumed
+    * exactly one separating space and inflated on runs/tabs).
+    */
   def meanTokenLen(text: Column): Column = {
-    val n = wsTokenCount(text)
+    val words = wsWords(text)
+    val n = size(words)
     when(n === 0, lit(0.0))
-      .otherwise((length(trim(text)) - (n - 1)).cast("double") / n)
+      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / n)
   }
 
   /** Composite quality score in [0,1] — the length/punctuation/stopword
@@ -105,8 +124,7 @@ object TextAnalysis {
     */
   def gopherQuality(text: Column,
       minWords: Int = 50, maxWords: Int = 100000): Column = {
-    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    val words = wsWords(text)
     val nWords = size(words).cast("long")
     val totalChars = coalesce(
       aggregate(words, lit(0L), (acc, w) => acc + length(w)), lit(0L))
@@ -166,8 +184,7 @@ object TextAnalysis {
   def chunkWindows(text: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val words = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    val words = wsWords(text)
     val n = size(words)
     val starts = when(n === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), n - 1, lit(stride)))
@@ -191,8 +208,7 @@ object TextAnalysis {
   def termStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, knownCount: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val n = knownCount.getOrElse(df.count())
-    val words = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(col(textCol))), "\\s+"))
+    val words = wsWords(lower(col(textCol)))
     val tf = df.select(col(idCol).as("id"), explode(words).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     // df = count(CASE WHEN tf > 0 THEN tf END), not count(*): tf = count(*)
@@ -328,7 +344,10 @@ object TextAnalysis {
     */
   def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val lines = transform(split(coalesce(col(textCol), lit("")), "\n"),
+    // \r?\n: CRLF pages would otherwise keep a trailing \r per line
+    // (Spark trim strips only spaces) and fail the terminal-punctuation
+    // rule on EVERY line — whole pages dropped on line-ending style
+    val lines = transform(split(coalesce(col(textCol), lit("")), "\r?\n"),
       l => trim(l))
     val kept = filter(lines, l => c4LineKeep(l))
     df.select(col(idCol).as("id"),
@@ -343,10 +362,8 @@ object TextAnalysis {
     * ANSI SQL (`list_reduce`): fp = fold(tokens, 7, acc·31 + len(w)·17 +
     * first-char-code) mod 1e9+7.
     */
-  def fingerprint(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0, lit(7L)).otherwise(
-      aggregate(words, lit(7L),
-        (acc, w) => (acc * 31 + length(w) * 17 + ascii(substring(w, 1, 1))) % 1000000007L))
-  }
+  def fingerprint(text: Column): Column =
+    // an empty token list folds to the bare init (7) — no special case
+    aggregate(wsWords(text), lit(7L),
+      (acc, w) => (acc * 31 + length(w) * 17 + ascii(substring(w, 1, 1))) % 1000000007L)
 }

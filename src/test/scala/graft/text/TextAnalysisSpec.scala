@@ -257,4 +257,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getLong(2) == 1
       && r.getString(4) == "Padded but a fully valid sentence stays here.")
   }
+
+  test("word lattices: tab/newline-led text grows no phantom token; NULL text is an empty doc") {
+    val df = Seq(
+      (1L, "\tfoo bar"),        // tab-led: 2 words, not 3
+      (2L, "\t"),               // whitespace-only: 0 words
+      (3L, "a  b"),             // run separator: 2 words, mean len 1.0
+      (4L, null.asInstanceOf[String])) // NULL: empty doc, integer verdicts
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.gopherQuality(col("text")).getField("keep").as("keep"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == 2, "tab-led text must count 2 words")
+    assert(got(2L)._1 == 0 && got(2L)._3 == 7L)
+    assert(got(3L)._1 == 2 && got(3L)._2 == 1.0,
+      "mean token length must not count separator runs")
+    assert(got(4L)._1 == 0 && !got(4L)._4, "NULL text: defined verdicts, not NULL")
+    // stopwords match case-insensitively like gopherQuality
+    val sr = df.sparkSession.range(1).select(
+      TextAnalysis.stopwordRatio(lit("The cat sat"))).collect()(0).getDouble(0)
+    assert(math.abs(sr - 1.0 / 3) < 1e-9, s"sentence-initial 'The' must count, got $sr")
+  }
+
+  test("c4Clean handles CRLF pages (trailing \\r must not fail the punctuation rule)") {
+    val page = Seq(
+      "This is a perfectly fine sentence for the corpus.",
+      "Another proper sentence is retained here today.",
+      "A third fine sentence keeps the page alive.").mkString("\r\n")
+    val r = TextAnalysis.c4Clean(Seq((1L, page)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0)
+    assert(r.getLong(2) == 3 && r.getBoolean(3),
+      s"CRLF page must keep all 3 lines, got ${r.getLong(2)}")
+    assert(!r.getString(4).contains("\r"))
+  }
 }
