@@ -287,11 +287,30 @@ object Bench {
     }
 
     val json = buildJson(partial = false)
-    // stdout is the contract (unprefixed — build.sbt sets StdoutOutput so
-    // sbt does not wrap it in `[info]`); the file copy is the fallback for
-    // any harness that post-filters stdout.
-    println(json)
+    // Full artifact (per-query map, all scaling samples) goes to the file.
     try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
     catch { case _: Throwable => () }
+    // stdout contract: the harness stores only the LAST 2000 chars of
+    // stdout and parses a JSON line out of that tail, so the final stdout
+    // line must be a COMPACT headline (<1 kB — the full ~3 kB line was
+    // front-truncated past recognition in rounds 3-5). Unprefixed:
+    // build.sbt sets StdoutOutput so sbt does not wrap it in `[info]`.
+    val sec8h = samples8.min
+    val sec2h = samples2.min
+    val thr8h = n8 / sec8h
+    val thr2h = n2 / sec2h
+    val thr32h = if (sec32.isNaN) -1.0 else n32 / sec32
+    val totalQuerySec = queryTimes.values.filter(_ >= 0).sum
+    val headline =
+      f"""{"metric":"turns_parsed_routed_per_sec","value":$thr8h%.1f,"unit":"turns/sec",""" +
+      f""""turns":$n8,"throughput_local32":$thr32h%.1f,"throughput_local8":$thr8h%.1f,""" +
+      f""""throughput_local2":$thr2h%.1f,""" +
+      f""""scaling_pair":"local[2]->local[8]","scaling_efficiency":$effMedianNow%.3f,""" +
+      f""""scaling_efficiency_min":${(thr8h / thr2h) / 4.0}%.3f,""" +
+      f""""queries_run":${queryTimes.size - queriesSkipped},"queries_skipped":$queriesSkipped,""" +
+      f""""queries_total_sec":$totalQuerySec%.1f,"queries_failed":${queryTimes.values.count(_ == -1.0)},""" +
+      f""""budget_truncated":$truncated,"elapsed_sec":$elapsedSec%.1f,""" +
+      f""""full_artifact":"BENCH_LAST.json","sf":"$sfDir"}"""
+    println(headline)
   }
 }

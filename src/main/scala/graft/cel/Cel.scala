@@ -616,6 +616,25 @@ object Cel {
       case Ident(name) if name == "event" || name.startsWith("event.") =>
         typeOf(name.stripPrefix("event").stripPrefix("."))
       case Method(t, "split", _) => Some(ArrayType(StringType))
+      // Arithmetic composes: cel-go's truncating int division must fire
+      // for NESTED integer arithmetic too — (event.n + 1) / 2 and 7/2/2
+      // keep integer types in cel-go, so the compiled Spark expression
+      // must not fall back to floating try_divide just because an operand
+      // is itself a Binary node.
+      case Binary(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
+        val lt = staticType(l, typeOf)
+        val rt = staticType(r, typeOf)
+        def integral(t: Option[DataType]): Boolean = t.exists {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }
+        if (op == "+" && (lt.contains(StringType) || rt.contains(StringType)))
+          Some(StringType)
+        else if (op == "+" && Seq(lt, rt).exists(_.exists(_.isInstanceOf[ArrayType])))
+          lt.orElse(rt)
+        else if (integral(lt) && integral(rt)) Some(LongType)
+        else if (lt.contains(DoubleType) || rt.contains(DoubleType)) Some(DoubleType)
+        else None
       case _ if isStringy(e) => Some(StringType)
       case _ => None
     }

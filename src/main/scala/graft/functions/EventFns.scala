@@ -48,10 +48,12 @@ object EventFns {
         c.try_cast("double").try_cast("timestamp")
       case layout =>
         // weekday layouts (Go parses-and-ignores the validated name;
-        // Spark can't parse 'E'): strip the name from the input, let the
-        // shape guard validate it in position (GoTime class doc)
+        // Spark can't parse 'E'): strip the name from the input via the
+        // ANCHORED full-layout rewrite — only the weekday in its layout
+        // position is removed, never weekday substrings inside other
+        // fields — and let the shape guard validate it (GoTime class doc)
         val input = GoTime.weekdayStrip(layout) match {
-          case Some(re) => regexp_replace(c, re, "")
+          case Some((re, repl)) => regexp_replace(c, re, repl)
           case None => c
         }
         // shape prefilter: a thrown-and-caught parse exception per row

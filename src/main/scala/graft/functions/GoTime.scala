@@ -168,24 +168,43 @@ object GoTime {
     if (pieces.size == 1) pieces(0) else concat(pieces.toSeq: _*)
   }
 
-  /** When the layout carries weekday tokens, the regex of the weekday
-    * names to strip from the INPUT before parsing (Go validates the name
-    * then ignores it; Spark can't parse 'E' at all). The shape regex
-    * validates the name in position, so the guarded parse keeps Go's
-    * validation.
+  /** When the layout carries weekday tokens, an anchored
+    * `(pattern, replacement)` pair that removes the weekday name from the
+    * INPUT before parsing (Go validates the name then ignores it; Spark
+    * can't parse 'E' at all). The pattern is the FULL layout shape with
+    * capture groups around the non-weekday spans and the replacement
+    * re-emits exactly those groups, so only the weekday token *in its
+    * layout position* is removed — an unanchored per-name replace would
+    * strip every weekday substring anywhere in the value, corrupting e.g.
+    * zone names ('America/Montevideo' → 'America/tevideo') into strings
+    * Go would have parsed. A non-matching (malformed) input is left
+    * unchanged and fails the downstream parse, same as Go.
     */
-  def weekdayStrip(goLayout: String): Option[String] = {
-    val alts = scala.collection.mutable.LinkedHashSet.empty[String]
+  def weekdayStrip(goLayout: String): Option[(String, String)] = {
+    var hasWeekday = false
+    var unknown = false
+    val pat = new StringBuilder("^")
+    val repl = new StringBuilder
+    var groups = 0
+    val span = new StringBuilder
+    def flushSpan(): Unit = if (span.nonEmpty) {
+      groups += 1
+      pat.append('(').append(span).append(')')
+      repl.append('$').append(groups)
+      span.setLength(0)
+    }
     walk(goLayout)(
-      onToken = {
-        case ("Monday", _, _, shape) => alts += shape
-        case ("Mon", _, _, shape) => alts += shape
-        case _ => ()
+      onToken = row => row._1 match {
+        case "Monday" | "Mon" =>
+          hasWeekday = true; flushSpan(); pat.append(row._4)
+        case _ => span.append(row._4)
       },
-      onTrimmedFraction = _ => (),
-      onLiteral = _ => (),
-      onUnknown = _ => ())
-    if (alts.isEmpty) None else Some(alts.mkString("|"))
+      onTrimmedFraction = n => span.append(s"(?:\\.\\d{1,$n})?"),
+      onLiteral = c => span.append(java.util.regex.Pattern.quote(c.toString)),
+      onUnknown = _ => unknown = true)
+    flushSpan()
+    pat.append('$')
+    if (!hasWeekday || unknown) None else Some((pat.toString, repl.toString))
   }
 
   /** Conservative shape regex for a Go layout: matches a SUPERSET of the

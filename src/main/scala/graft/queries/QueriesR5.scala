@@ -518,7 +518,12 @@ object QueriesR5 {
        |    'menu home about' AS raw
        |  FROM documents),
        |l AS (SELECT doc_id,
-       |    list_transform(string_split(raw, chr(10)), x -> trim(x)) AS lines
+       |    -- engine splits on CR?LF; fold CRLF to LF first so corpus text
+       |    -- containing CRLF doesn't leave a trailing CR on oracle lines
+       |    -- (trim strips spaces only) and flip the terminal-punct rule
+       |    list_transform(
+       |      string_split(replace(raw, chr(13) || chr(10), chr(10)), chr(10)),
+       |      x -> trim(x)) AS lines
        |  FROM m),
        |k AS (SELECT doc_id, lines,
        |    list_filter(lines, t ->

@@ -81,8 +81,15 @@ object Sources {
           while (b != -1 && b != '\n' && !split) {
             // cap with rune-safe overhang: continuation bytes (10xxxxxx)
             // may finish the current rune past the cap (≤ 3 bytes); the
-            // first lead byte at/after the cap starts the next chunk
-            if (bout.size >= maxLineBytes && (b & 0xc0) != 0x80) {
+            // first lead byte at/after the cap starts the next chunk.
+            // Hard stop at cap+3 regardless of byte class — a newline-free
+            // stream of pure continuation bytes (binary piped to stdin)
+            // otherwise never satisfies the lead-byte condition and the
+            // buffer grows without bound, the exact scenario the cap exists
+            // to prevent (a 4-byte rune lead at the cap boundary finishes
+            // within 3 continuation bytes, so +3 never splits a valid rune)
+            if (bout.size >= maxLineBytes &&
+                ((b & 0xc0) != 0x80 || bout.size >= maxLineBytes + 3)) {
               split = true; carry = b
             } else { bout.write(b); b = nextByte() }
           }

@@ -111,6 +111,24 @@ class CelSpec extends SparkTestBase {
     assert(f == 3.5)
   }
 
+  test("NESTED integer arithmetic keeps cel-go truncating division (staticType recurses into Binary)") {
+    val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
+      p => if (p == "num") Some(org.apache.spark.sql.types.LongType) else None
+    // (event.num + 1) / 2: a Binary operand must still be seen as integral
+    // — floating try_divide would give 21.5/4.0 doubles instead
+    val r = df.select(Cel.compile("(event.num + 1) / 2", resolve, typeOf))
+      .as[Long].collect().toSeq
+    assert(r == Seq(21L, 4L), s"nested int arithmetic must stay integral, got $r")
+    // chained division: 7/2/2 = 3/2 = 1 in cel-go (floating gives 1.75)
+    val c = df.select(Cel.compile("7 / 2 / 2", resolve)).as[Long].collect()(0)
+    assert(c == 1L, s"7/2/2 must truncate twice, got $c")
+    // and the result type composes into comparisons / group keys
+    val cmp = df.select(coalesce(
+        Cel.compile("(event.num + 1) / 2 == 21", resolve, typeOf), lit(false)))
+      .as[Boolean].collect().toSeq
+    assert(cmp == Seq(true, false))
+  }
+
   test("list indexing is 0-based like CEL; out-of-range and negative null out") {
     val typeOf: String => Option[org.apache.spark.sql.types.DataType] =
       p => if (p == "tags") Some(org.apache.spark.sql.types.ArrayType(

@@ -104,6 +104,22 @@ class GoTimeSpec extends SparkTestBase {
       .collect()(0).getTimestamp(0) != null)
   }
 
+  test("weekdayStrip is ANCHORED to the layout position: weekday substrings in other fields survive") {
+    val Some((re, repl)) = GoTime.weekdayStrip("Mon Jan _2 15:04:05 MST 2006")
+    def strip(v: String): String =
+      Seq(v).toDF("raw").select(regexp_replace(col("raw"), re, repl).as("s"))
+        .collect()(0).getString(0)
+    // 'Montevideo' contains 'Mon' — the old unanchored per-name replace
+    // rewrote it to 'America/tevideo', nulling a parseable timestamp
+    assert(strip("Wed Mar  4 05:06:07 America/Montevideo 2026")
+      == " Mar  4 05:06:07 America/Montevideo 2026")
+    // malformed input (no layout match) passes through untouched —
+    // including free-standing weekday words
+    assert(strip("hello Monday world") == "hello Monday world")
+    // layouts without weekday tokens need no strip at all
+    assert(GoTime.weekdayStrip("2006-01-02 15:04:05").isEmpty)
+  }
+
   test("format context: _2 pads single-digit days only; weekday renders; -07:00 is +00:00 at UTC") {
     def fmt(layout: String, iso: String): String =
       Seq(java.sql.Timestamp.from(java.time.Instant.parse(iso))).toDF("ts")

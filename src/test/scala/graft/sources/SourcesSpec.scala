@@ -133,4 +133,22 @@ class SourcesSpec extends SparkTestBase {
     // registrar math: the last offset equals total consumed bytes
     assert(rows.map(_.getAs[Long]("offset")).max == payload.getBytes("UTF-8").length)
   }
+
+  test("spoolStdin: newline-free PURE-continuation-byte stream still splits (binary piped to stdin)") {
+    // 8 KB of 0x80 bytes: no byte is ever a UTF-8 lead byte, so a split
+    // condition keyed on lead bytes alone never fires and the driver line
+    // buffer grows without bound — the hard stop at cap+3 must cut it
+    val payload = Array.fill[Byte](8192)(0x80.toByte)
+    val in = new java.io.ByteArrayInputStream(payload)
+    val spoolDir = java.nio.file.Files.createTempDirectory("graft-binline").toString + "/spool"
+    Sources.spoolStdin(spark, in, spoolDir, batchLines = 64, parallelism = 2,
+      maxLineBytes = 512)
+    val rows = spark.read.parquet(spoolDir).orderBy("offset").collect()
+    // chunks of exactly cap+3 bytes (515), last one the 467-byte remainder
+    assert(rows.length == 16, s"8192 B at a 512 B cap must make 16 chunks, got ${rows.length}")
+    // each invalid byte decodes to one replacement char: chunk length in
+    // chars equals its byte length, so the buffer provably stayed O(cap)
+    assert(rows.map(_.getAs[String]("text").length).max <= 512 + 3)
+    assert(rows.map(_.getAs[Long]("offset")).max == 8192L)
+  }
 }
