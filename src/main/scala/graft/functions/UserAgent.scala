@@ -15,24 +15,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * LRU-cached uap-go parse and sets
   * `user_agent[name|major|minor|patch|os[family|major|minor]|device[name]]`.
   *
-  * This is a compact re-implementation of the public uap-core semantics
-  * (ordered regex rules, first match wins, unmatched → family "Other")
-  * covering the major browser/bot/tool families; it is NOT the full
-  * uap-core ruleset (documented divergence — the full YAML is ~1 MB of
-  * data, not engine behavior). The LRU cache analog is [[EvalMemo]]:
+  * Two rule sources, same semantics (ordered regex rules, `re.search`
+  * matching, first match wins, unmatched → family "Other"):
+  *
+  *  - `rules = Some(...)`: a FULL uap-core database loaded from the
+  *    public `regexes.yaml`/JSON file via [[UapRules.fromFile]] — exactly
+  *    what the reference embeds through uap-go;
+  *  - `rules = None` (default): a compact built-in subset covering the
+  *    major browser/bot/tool families, for deployments that don't ship
+  *    the database file.
+  *
+  * The LRU cache analog is [[EvalMemo]], keyed on the ruleset instance:
   * consecutive rows with the same UA string (the dominant case in real
   * traffic) parse once.
   */
-case class UserAgentParse(child: Expression) extends UnaryExpression {
+case class UserAgentParse(child: Expression,
+    rules: Option[UapRules.RuleSet] = None) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "user_agent_parse"
 
   override val dataType: DataType = UserAgentParse.schema
 
+  private def memoTag: AnyRef = rules.getOrElse(UserAgentParse)
+
   override def nullSafeEval(input: Any): Any =
-    EvalMemo.memo(UserAgentParse, input.asInstanceOf[UTF8String]) {
-      UserAgentParse.parseRow(input.asInstanceOf[UTF8String].toString)
+    EvalMemo.memo(memoTag, input.asInstanceOf[UTF8String]) {
+      UserAgentParse.parseRow(input.asInstanceOf[UTF8String].toString, rules)
     }
 
   def evalInput(s: Any): AnyRef = nullSafeEval(s).asInstanceOf[AnyRef]
@@ -179,8 +188,12 @@ object UserAgentParse {
     Ua(name, major, minor, patch, osFamily, osMajor, osMinor, device)
   }
 
-  private[functions] def parseRow(ua: String): GenericInternalRow = {
-    val r = parse(ua)
+  private[functions] def parseRow(ua: String,
+      rules: Option[UapRules.RuleSet]): GenericInternalRow = {
+    val r = rules match {
+      case Some(rs) => rs.parse(ua)
+      case None => parse(ua)
+    }
     def u(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
     new GenericInternalRow(Array[Any](
       u(r.name), u(r.major), u(r.minor), u(r.patch),
@@ -188,4 +201,7 @@ object UserAgentParse {
   }
 
   def apply(c: Column): Column = EU.column(UserAgentParse(EU.expression(c)))
+
+  def apply(c: Column, rules: UapRules.RuleSet): Column =
+    EU.column(UserAgentParse(EU.expression(c), Some(rules)))
 }

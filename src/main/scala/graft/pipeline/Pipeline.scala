@@ -243,10 +243,14 @@ case class SetFieldStage(field: String, valueCel: String) extends Stage {
   * replaced by the EvalMemo consecutive-row memo inside
   * [[graft.functions.UserAgentParse]].
   */
-case class UserAgentStage(field: String, remove: Boolean = false) extends Stage {
+case class UserAgentStage(field: String, remove: Boolean = false,
+    rules: Option[graft.functions.UapRules.RuleSet] = None) extends Stage {
   def apply(df: DataFrame, guard: Column): DataFrame = {
     val src = Pipeline.resolve(df)(field)
-    val ua = graft.functions.UserAgentParse(src)
+    val ua = rules match {
+      case Some(rs) => graft.functions.UserAgentParse(src, rs)
+      case None => graft.functions.UserAgentParse(src)
+    }
     val entries: Seq[(String, Column)] = Seq(
       "user_agent.original" -> src,
       "user_agent.name" -> ua.getField("name"),

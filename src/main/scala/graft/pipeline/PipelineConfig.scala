@@ -33,6 +33,85 @@ object PipelineConfig {
     parseStages(root, grok)
   }
 
+  /** The reference's native config form — YAML (`lc-lib/config/parser.go`
+    * feeds go-yaml; every shipped config under `testing/` is YAML).
+    * Accepts either a full config document (the `pipelines` key is taken)
+    * or a bare stage list, in the REFERENCE's AST shape: actions are
+    * `name:`-keyed entries and conditionals are SIBLING entries merged by
+    * a state machine (`lc-lib/processor/config.go:66-150`):
+    *
+    * {{{
+    * pipelines:
+    * - if: expression
+    *   then:
+    *   - name: grok
+    *     field: message
+    *     patterns: [...]
+    * - else if: expression
+    *   then:
+    *   - name: add_tag
+    *     tag: t
+    * - else:
+    *   - name: add_tag
+    *     tag: u
+    * }}}
+    *
+    * Our JSON dialect's single-key action objects are also accepted per
+    * entry, so the two spellings can mix.
+    */
+  def fromYaml(yaml: String, grok: Grok = Grok.default): Seq[Stage] = {
+    val parsed = graft.util.Yaml.parse(yaml)
+    val root: JsonNode = JsonFlatten.mapper.valueToTree(parsed)
+    val list =
+      if (root.isObject && root.has("pipelines")) root.get("pipelines") else root
+    require(list.isArray,
+      "pipeline YAML must be a list of entries (or a config document with 'pipelines')")
+    fromReferenceAst(list, grok)
+  }
+
+  /** State machine over sibling entries, mirroring `config.go:66-150`:
+    * an `if` opens a conditional; following `else if` entries extend it;
+    * a following `else` closes it; anything else (a `name:` action or a
+    * single-key JSON-dialect stage) emits directly.
+    */
+  private def fromReferenceAst(arr: JsonNode, grok: Grok): Seq[Stage] = {
+    import scala.jdk.CollectionConverters._
+    val entries = arr.elements().asScala.toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[Stage]
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      require(e.isObject, s"pipeline entry must be a mapping: $e")
+      if (e.has("if")) {
+        val branches = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Stage])]
+        branches += e.get("if").asText() -> fromReferenceAst(e.get("then"), grok)
+        i += 1
+        while (i < entries.length && entries(i).has("else if")) {
+          branches += entries(i).get("else if").asText() ->
+            fromReferenceAst(entries(i).get("then"), grok)
+          i += 1
+        }
+        val otherwise =
+          if (i < entries.length && entries(i).has("else")) {
+            val o = fromReferenceAst(entries(i).get("else"), grok)
+            i += 1
+            o
+          } else Seq.empty
+        out += ConditionalStage(branches.toSeq, otherwise)
+      } else if (e.has("else if") || e.has("else")) {
+        throw new IllegalArgumentException(
+          s"'else if'/'else' without a preceding 'if' (config.go:120-137): $e")
+      } else if (e.has("name")) {
+        out += parseAction(e.get("name").asText(), e, grok)
+        i += 1
+      } else {
+        out += parseStage(e, grok)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   private def parseStages(arr: JsonNode, grok: Grok): Seq[Stage] = {
     import scala.jdk.CollectionConverters._
     arr.elements().asScala.map(parseStage(_, grok)).toSeq
@@ -58,7 +137,15 @@ object PipelineConfig {
       return ConditionalStage(branches.toSeq, otherwise)
     }
     val name = node.fieldNames().next()
-    val cfg = node.get(name)
+    parseAction(name, node.get(name), grok)
+  }
+
+  /** One action from its name + config mapping. The reference's YAML shape
+    * passes the entry itself as `cfg` (params sit beside `name`, which the
+    * registrars never read — `config.go:154-165` deletes it); the JSON
+    * dialect passes the single key's value.
+    */
+  private def parseAction(name: String, cfg: JsonNode, grok: Grok): Stage = {
     def str(f: String, default: String = null): String =
       if (cfg.has(f)) cfg.get(f).asText() else default
     def bool(f: String): Boolean = cfg.has(f) && cfg.get(f).asBoolean()
@@ -81,7 +168,12 @@ object PipelineConfig {
       case "remove_tag" => RemoveTagStage(str("tag"))
       case "filter" => FilterStage(strings(cfg.get("patterns")),
         str("match", "any"), str("field", "text"))
-      case "user_agent" => UserAgentStage(str("field"), bool("remove"))
+      case "user_agent" =>
+        // optional `database`: a uap-core regexes.yaml/JSON file (the
+        // reference embeds it via uap-go; actionuseragent.go:50-112);
+        // without one the built-in major-family subset applies
+        val rules = Option(str("database")).map(graft.functions.UapRules.fromFile)
+        UserAgentStage(str("field"), bool("remove"), rules)
       case "geoip" =>
         // the reference's `database` is an mmdb path; ours is the lookup
         // records themselves — inline (`records`) or a JSON file path

@@ -77,4 +77,101 @@ class UserAgentSpec extends AnyFunSuite {
     assert(r.name == "Other" && r.osFamily == "Other" && r.device == "Other")
     assert(r.major == null)
   }
+
+  // ---- full uap-core database loading (regexes.yaml / JSON form) ----
+  // A miniature database in the EXACT uap-core file format; the rules
+  // exercise every template feature the full public file uses:
+  // $N substitution, literal replacements, group defaults, regex_flag.
+  private val uapYaml =
+    """user_agent_parsers:
+      |  - regex: '(Namoroka|Shiretoko|Minefield)/(\d+)\.(\d+)\.(\d+(?:pre|))'
+      |    family_replacement: 'Firefox ($1)'
+      |  - regex: '(Chrome)/(\d+)\.(\d+)\.(\d+)\.(\d+) Mobile'
+      |    family_replacement: 'Chrome Mobile'
+      |  - regex: '(Chromium|Chrome)/(\d+)\.(\d+)(?:\.(\d+))?'
+      |  - regex: '(Firefox)/(\d+)\.(\d+)\.(\d+)'
+      |  - regex: 'Version/(\d+)\.(\d+)(?:\.(\d+))?.*Safari/'
+      |    family_replacement: 'Safari'
+      |    v1_replacement: '$1'
+      |    v2_replacement: '$2'
+      |    v3_replacement: '$3'
+      |os_parsers:
+      |  - regex: 'Win(?:dows)? ?(95|98|3\.1|NT|ME|2000)'
+      |    os_replacement: 'Windows'
+      |    os_v1_replacement: '$1'
+      |  - regex: 'Windows NT 10\.0'
+      |    os_replacement: 'Windows'
+      |    os_v1_replacement: '10'
+      |  - regex: '(CPU[ +]OS|iPhone[ +]OS|CPU[ +]iPhone[ +]OS)[ +]+(\d+)[_\.](\d+)'
+      |    os_replacement: 'iOS'
+      |    os_v1_replacement: '$2'
+      |    os_v2_replacement: '$3'
+      |  - regex: '(Android) (\d+)(?:\.(\d+))?'
+      |device_parsers:
+      |  - regex: '\bSmartWatch *\( *([^;]+) *; *([^;]+) *;'
+      |    regex_flag: 'i'
+      |    device_replacement: '$1 $2'
+      |  - regex: '(?:\bApple-)?(iPhone)(?:/(\d+\.\d+))?'
+      |    device_replacement: 'iPhone'
+      |  - regex: 'Android.*\b([A-Za-z]+-\d+)\b'
+      |""".stripMargin
+
+  private val full = UapRules.fromYaml(uapYaml)
+  private def uaFull(s: String): Ua = full.parse(s)
+
+  test("uap-core database: $N substitution in family_replacement") {
+    // 'Firefox ($1)' → group 1 spliced into the literal template
+    val r = uaFull("Mozilla/5.0 (X11; Linux) Gecko Namoroka/3.6.2")
+    assert(r.name == "Firefox (Namoroka)")
+    assert(r.major == "3" && r.minor == "6" && r.patch == "2")
+  }
+
+  test("uap-core database: ordered rules, first match wins") {
+    // Chrome Mobile rule precedes plain Chrome; both would match
+    val m = uaFull("Mozilla/5.0 (Linux; Android 10) Chrome/99.0.4844.58 Mobile Safari/537.36")
+    assert(m.name == "Chrome Mobile" && m.major == "99")
+    assert(m.osFamily == "Android" && m.osMajor == "10")
+    val d = uaFull("Mozilla/5.0 (Windows NT 10.0) Chrome/99.0.4844.58 Safari/537.36")
+    assert(d.name == "Chrome" && d.major == "99" && d.minor == "0" && d.patch == "4844")
+  }
+
+  test("uap-core database: default capture groups when no replacement given") {
+    // the bare Android os rule has no replacements: family=g1, v1=g2, v2=g3
+    val r = uaFull("Mozilla/5.0 (Linux; Android 13.1) Firefox/115.2.1")
+    assert(r.name == "Firefox" && r.major == "115" && r.minor == "2" && r.patch == "1")
+    assert(r.osFamily == "Android" && r.osMajor == "13" && r.osMinor == "1")
+  }
+
+  test("uap-core database: unmatched optional group substitutes empty → null") {
+    // Safari rule: v3_replacement '$3' with group 3 absent → patch null
+    val r = uaFull("Mozilla/5.0 (Macintosh) Version/16.1 Safari/605.1.15")
+    assert(r.name == "Safari" && r.major == "16" && r.minor == "1" && r.patch == null)
+  }
+
+  test("uap-core database: regex_flag i and multi-group device template") {
+    val r = uaFull("SMARTWATCH (Polar;Vantage;) embedded")
+    assert(r.device == "Polar Vantage")
+    val p = uaFull("Apple-iPhone7C2/1202.466; U; CPU iPhone OS 10_2 like Mac OS X")
+    assert(p.device == "iPhone" && p.osFamily == "iOS" && p.osMajor == "10" && p.osMinor == "2")
+  }
+
+  test("uap-core database: JSON form loads identically") {
+    val json =
+      """{"user_agent_parsers": [
+        |   {"regex": "(Chromium|Chrome)/(\\d+)\\.(\\d+)(?:\\.(\\d+))?"}],
+        | "os_parsers": [
+        |   {"regex": "(Android) (\\d+)\\.(\\d+)"}],
+        | "device_parsers": []}""".stripMargin
+    val rs = UapRules.fromJson(json)
+    val r = rs.parse("Mozilla/5.0 (Linux; Android 12.0) Chrome/90.1.2 Safari")
+    assert(r.name == "Chrome" && r.major == "90" && r.osFamily == "Android")
+    // (the Spark expression path with a loaded ruleset is covered by
+    // PipelineConfigSpec's user_agent-with-database case)
+  }
+
+  test("uap-core database: no match in any section → Other/Other/Other") {
+    val r = uaFull("telnet-client 1.0")
+    assert(r.name == "Other" && r.osFamily == "Other" && r.device == "Other")
+    assert(r.major == null && r.osMajor == null)
+  }
 }

@@ -72,6 +72,97 @@ class PipelineConfigSpec extends SparkTestBase {
       PipelineConfig.fromJson("""[{"explode": {}}]"""))
   }
 
+  test("YAML pipeline config in the reference's own dialect (testing/log-carver.yaml shape)") {
+    // A semantics-preserving translation of testing/log-carver.yaml's
+    // pipelines section: folded-scalar CEL condition, name-keyed actions,
+    // SIBLING else-if/else entries (config.go:66-150's state machine),
+    // plus a trailing unconditional action.
+    val yaml =
+      """pipelines:
+        |- if: >-
+        |    event.text.matches("^\\d{1,3}\\.")
+        |  then:
+        |  - name: grok
+        |    field: text
+        |    patterns:
+        |    - >-
+        |      ^%{IPV4:client} - %{USER:user} \[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" %{NUMBER:response:int} %{NUMBER:bytes:int} "%{DATA:referrer}" "%{DATA:agent}" %{NUMBER:requesttime:float}
+        |  - name: add_tag
+        |    tag: nginx
+        |- else if: >-
+        |    event.text.matches("^[a-z]+=")
+        |  then:
+        |  - name: kv
+        |    field: text
+        |  - name: add_tag
+        |    tag: kv
+        |- else:
+        |  - name: add_tag
+        |    tag: plain
+        |- name: set_field
+        |  field: origin
+        |  value: '"carver"'
+        |""".stripMargin
+    val stages = PipelineConfig.fromYaml(yaml)
+    assert(stages.length == 2) // the conditional (merged siblings) + set_field
+
+    val df = Seq(
+      ("c1", 0, "user", graft.model.TranscriptGen.nginxLine(42, 1, 2), "none",
+        new java.sql.Timestamp(0L)),
+      ("c1", 1, "user", "alpha=5 beta=6", "none", new java.sql.Timestamp(0L)),
+      ("c1", 2, "user", "just text", "none", new java.sql.Timestamp(0L))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val out = Pipeline(df, stages)
+    val rows = out
+      .select(col("turn_idx"), array_join(col(Envelope.TagsCol), ","),
+        element_at(col(Envelope.FieldsCol), "client"),
+        element_at(col(Envelope.FieldsCol), "alpha"),
+        element_at(col(Envelope.FieldsCol), "origin"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(rows(0)._1 == "nginx" && rows(0)._2 != null && rows(0)._4 == "carver")
+    assert(rows(1)._1 == "kv" && rows(1)._3 == "5")
+    assert(rows(2)._1 == "plain" && rows(2)._4 == "carver")
+  }
+
+  test("YAML dialect: else without if rejected; dangling else-if rejected") {
+    intercept[IllegalArgumentException](PipelineConfig.fromYaml(
+      "- else:\n  - name: add_tag\n    tag: t\n"))
+    intercept[IllegalArgumentException](PipelineConfig.fromYaml(
+      "- else if: \"true\"\n  then:\n  - name: add_tag\n    tag: t\n"))
+  }
+
+  test("user_agent action loads a full uap-core database file") {
+    val dbFile = java.nio.file.Files.createTempFile("uap-regexes", ".yaml")
+    java.nio.file.Files.writeString(dbFile,
+      """user_agent_parsers:
+        |  - regex: '(Namoroka|Shiretoko|Minefield)/(\d+)\.(\d+)'
+        |    family_replacement: 'Firefox ($1)'
+        |os_parsers:
+        |  - regex: '(Android) (\d+)\.(\d+)'
+        |device_parsers: []
+        |""".stripMargin)
+    val yaml =
+      s"""- name: user_agent
+         |  field: text
+         |  database: $dbFile
+         |""".stripMargin
+    val df = Seq(("c1", 0, "user", "Mozilla/5.0 (Android 13.1) Gecko Shiretoko/3.5.1",
+      "none", new java.sql.Timestamp(0L)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = Pipeline(df, PipelineConfig.fromYaml(yaml))
+    val r = out.select(
+      element_at(col(Envelope.FieldsCol), "user_agent.name"),
+      element_at(col(Envelope.FieldsCol), "user_agent.os.family"),
+      element_at(col(Envelope.FieldsCol), "user_agent.os.major")).collect()(0)
+    // the built-in subset would classify this UA as family "Other" —
+    // only the loaded database knows the Shiretoko → Firefox mapping
+    assert(r.getString(0) == "Firefox (Shiretoko)")
+    assert(r.getString(1) == "Android" && r.getString(2) == "13")
+    java.nio.file.Files.delete(dbFile)
+  }
+
   test("endpoint policies: failover / loadbalance / random") {
     val eps = Seq("es-1", "es-2", "es-3")
     val fo = EndpointSet(eps, "failover")
