@@ -75,6 +75,31 @@ object GeoIp {
         Seq("_geoip_key"), "left")
     val invalid = col("_geoip_key").isNotNull && !col("_geoip_key").rlike(Ipv4Re)
     val geoType = lookup.schema("_geo").dataType
+    applyGeo(df, joined, invalid, geoType, targetCol, targetField, ipFieldName)
+  }
+
+  /** Enrich from a real MaxMind `.mmdb` database (GeoIP2/GeoLite2 City) —
+    * the reference's native path (`actiongeoip.go:88-168`). No join at
+    * all: a codegen'd per-row trie lookup against the per-JVM cached
+    * reader ([[Mmdb.cached]]), so the only thing the plan carries is the
+    * database PATH. IP validity follows `net.ParseIP` (v4 + v6), not the
+    * join path's v4-only regex.
+    */
+  def enrichMmdb(df: DataFrame, ipCol: Column, dbPath: String,
+      targetCol: String = "source", targetField: String = "geo",
+      ipFieldName: String = "ip"): DataFrame = {
+    val withGeo = df
+      .withColumn("_geoip_key", ipCol)
+      .withColumn("_geo", MmdbCityLookup(col("_geoip_key"), dbPath))
+    val invalid = col("_geoip_key").isNotNull && !MmdbCityLookup.ipValid(col("_geoip_key"))
+    applyGeo(df, withGeo, invalid, MmdbCityLookup.geoStructType,
+      targetCol, targetField, ipFieldName)
+  }
+
+  /** Shared enrich tail: `joined` carries `_geoip_key` and `_geo`. */
+  private def applyGeo(df: DataFrame, joined: DataFrame, invalid: Column,
+      geoType: org.apache.spark.sql.types.DataType,
+      targetCol: String, targetField: String, ipFieldName: String): DataFrame = {
     val target = df.schema.fields.find(_.name == targetCol) match {
       case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
           && f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]

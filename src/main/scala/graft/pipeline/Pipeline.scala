@@ -294,6 +294,24 @@ case class GeoIpStage(field: String, db: Seq[graft.enrich.GeoRecord],
   }
 }
 
+/** `geoip` action backed by a real MaxMind `.mmdb` database file — the
+  * reference's native configuration (`database` in actiongeoip.go points
+  * at a GeoIP2/GeoLite2 City file). Same semantics and target handling
+  * as [[GeoIpStage]], but resolution is a per-row search-tree walk via
+  * [[graft.enrich.MmdbCityLookup]] instead of a broadcast join, and IP
+  * validity follows `net.ParseIP` (v4 + v6).
+  */
+case class GeoIpMmdbStage(field: String, dbPath: String,
+    target: String = "source[geo]") extends Stage {
+  def apply(df: DataFrame, guard: Column): DataFrame = {
+    val p = Pipeline.normalizePath(target).split('.')
+    require(p.length == 2, s"geoip target must be a two-level path: $target")
+    val ip = when(guard, Pipeline.resolve(df)(field)) // unguarded rows: no-op
+    graft.enrich.GeoIp.enrichMmdb(df, ip, dbPath, targetCol = p(0),
+      targetField = p(1), ipFieldName = field)
+  }
+}
+
 /** `unset_field` (`actionfield.go:77-82`). */
 case class UnsetFieldStage(field: String) extends Stage {
   def apply(df: DataFrame, guard: Column): DataFrame =

@@ -175,9 +175,13 @@ object PipelineConfig {
         val rules = Option(str("database")).map(graft.functions.UapRules.fromFile)
         UserAgentStage(str("field"), bool("remove"), rules)
       case "geoip" =>
-        // the reference's `database` is an mmdb path; ours is the lookup
-        // records themselves — inline (`records`) or a JSON file path
-        // (`database`) of the same shape
+        // the reference's `database` is an mmdb path — a real MaxMind
+        // file is read natively (graft.enrich.Mmdb); alternatively the
+        // lookup records come inline (`records`) or as a JSON file path
+        // (`database` ending .json) of the GeoRecord shape
+        if (cfg.has("database") && cfg.get("database").asText().endsWith(".mmdb"))
+          return GeoIpMmdbStage(str("field"), cfg.get("database").asText(),
+            str("target", "source[geo]"))
         val recsNode =
           if (cfg.has("records")) cfg.get("records")
           else if (cfg.has("database"))
