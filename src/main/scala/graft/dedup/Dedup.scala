@@ -488,27 +488,88 @@ object Dedup {
     * Spark action, so constructing the returned DataFrame scans the
     * batch once up front (twice per execution with the verify join) —
     * the same contract as [[graft.sim.Ann.kmeansCentroids]]'s collect.
+    *
+    * SIZE BOUNDS (the 10⁹-doc-batch safety rails): the optimal filter is
+    * ~9.6 bits/item at fpp 1 %, so a 10⁶-doc batch is ~1.2 MB but a
+    * 10⁹-doc batch would be a ~1.2 GB plan literal. Two rails:
+    *
+    *  - the filter is SHARDED by hash prefix (`pmod(xxhash64, N)`) into
+    *    N = ceil(totalBytes / `shardBytes`) filters, each a bounded ≤
+    *    `shardBytes` literal (default 8 MB — under codegen's reference-
+    *    object comfort zone and GC-friendly); all N build in ONE batch
+    *    pass (per-partition filter arrays tree-merged) and the corpus
+    *    probe selects its shard by the same pmod, so each row still
+    *    pays exactly one `might_contain`;
+    *  - past `maxBloomBytes` TOTAL (default 128 MB ≈ 10⁸ batch docs) the
+    *    bloom is abandoned entirely: shipping a >128 MB plan to every
+    *    task costs more than the exchange it avoids, so the verify join
+    *    runs unpruned (exact as ever, shuffle O(corpus) — the honest
+    *    plan at that batch size, logged loudly).
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+      textCol: String, expectedItems: Long = -1L, fpp: Double = 0.01,
+      shardBytes: Long = 8L << 20, maxBloomBytes: Long = 128L << 20): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
     val capacity =
       if (expectedItems > 0) expectedItems
       else math.max(batch.count(), 1L)
-    val bf = batch.select(xxhash64(col(textCol)).as("_h"))
-      .stat.bloomFilter("_h", capacity, fpp)
-    val bfBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val pruned = corpus
-      .filter(EU.column(BloomFilterMightContain(
-        Literal(bfBytes, BinaryType),
-        EU.expression(xxhash64(col(textCol))))))
+    // optimal bit count: -n·ln(p) / ln(2)² (the standard bloom formula —
+    // what BloomFilter.create allocates)
+    val estBytes = math.ceil(
+      -capacity * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
+    val corpusKeyed = corpus
       .select(xxhash64(col(textCol)).as("_ch"), col(textCol).as("_ctext"),
         col(idCol).as("_cid"))
+    val pruned =
+      if (estBytes > maxBloomBytes) {
+        System.err.println(
+          s"graft: incrementalDedup batch capacity $capacity needs ~$estBytes bloom bytes" +
+          s" > maxBloomBytes $maxBloomBytes — bloom prune disabled, unpruned exact join")
+        corpusKeyed
+      } else {
+        val nShards = math.max(1, math.ceil(estBytes.toDouble / shardBytes).toInt)
+        val perShard = math.max(capacity / nShards, 1L)
+        val hashRdd = batch.select(xxhash64(col(textCol)).as("_h"))
+          .na.drop().rdd.map(_.getLong(0))
+        // ONE pass: every partition fills its own shard array, tree-merged
+        val filters =
+          if (hashRdd.getNumPartitions == 0)
+            Array.fill(nShards)(BloomFilter.create(perShard, fpp))
+          else hashRdd.mapPartitions { it =>
+            val arr = Array.fill(nShards)(BloomFilter.create(perShard, fpp))
+            it.foreach(h => arr(java.lang.Math.floorMod(h, nShards.toLong).toInt).putLong(h))
+            Iterator.single(arr)
+          }.treeReduce { (a, b) =>
+            var i = 0
+            while (i < nShards) { a(i).mergeInPlace(b(i)); i += 1 }
+            a
+          }
+        val shardLits = filters.map { bf =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          Literal(bos.toByteArray, BinaryType)
+        }
+        val h = xxhash64(col(textCol))
+        // shard-selected probe: exactly one might_contain per corpus row;
+        // a single shard keeps the bare expression (no CASE wrapper)
+        val probe =
+          if (nShards == 1)
+            EU.column(BloomFilterMightContain(shardLits(0), EU.expression(h)))
+          else {
+            val shard = pmod(h, lit(nShards.toLong))
+            shardLits.zipWithIndex.foldRight(lit(false)) {
+              case ((bfLit, i), rest) =>
+                when(shard === i.toLong,
+                  EU.column(BloomFilterMightContain(bfLit, EU.expression(h))))
+                  .otherwise(rest)
+            }
+          }
+        corpus.filter(probe)
+          .select(xxhash64(col(textCol)).as("_ch"), col(textCol).as("_ctext"),
+            col(idCol).as("_cid"))
+      }
     batch
       .select(col(idCol).as("id"), xxhash64(col(textCol)).as("_bh"),
         col(textCol).as("_btext"))

@@ -341,7 +341,7 @@ object Ann {
     */
   def kmeansCentroids(df: DataFrame, k: Int, iters: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      init: String = "first"): Array[Array[Long]] = {
+      init: String = "first", initBatch: Int = 1): Array[Array[Long]] = {
     // each iteration re-scans the pruned source instead of persisting the
     // projection: column pruning means the scan reads exactly the id+vec
     // columns a cache would hold, so caching only trades parquet decode
@@ -364,13 +364,32 @@ object Ann {
           .select(quant.as("q")).collect()
           .map(r => checkDim(r.getSeq[Long](0).toArray))
       case "farthest" =>
-        // maximin: each pass is one corpus scan reducing to ONE row (the
-        // argmin of max-cosine-to-seeds, ties → lower id) — k−1 bounded
-        // jobs, no shuffle beyond the single-row sort-limit. Chosen seeds
-        // are EXCLUDED from the scan: an already-picked vector has
-        // max-cosine 1.0 and would be re-picked as soon as the corpus
-        // has fewer than k distinct directions, silently duplicating a
-        // centroid where init="first" correctly fails the length check.
+        // maximin: each pass is one corpus scan reducing to a BOUNDED
+        // candidate pool (argmin of max-cosine-to-seeds, ties → lower
+        // id) — ceil((k−1)/initBatch) jobs, no shuffle beyond the
+        // sort-limit. Chosen seeds are EXCLUDED from the scan: an
+        // already-picked vector has max-cosine 1.0 and would be re-picked
+        // as soon as the corpus has fewer than k distinct directions,
+        // silently duplicating a centroid where init="first" correctly
+        // fails the length check.
+        //
+        // initBatch > 1 removes the serialized-jobs bottleneck at large k
+        // (k=4096 was 4095 sequential Spark jobs): one scan collects a
+        // 4×initBatch candidate pool, then SEQUENTIAL maximin runs on the
+        // driver WITHIN the pool, each in-batch pick updating the pool's
+        // max-sim against the just-picked seed. SOUNDNESS BOUND: a pick
+        // is accepted only while its updated max-sim stays strictly below
+        // the pool's scan boundary (the pool-max ms) — every out-of-pool
+        // vector scanned ≥ that boundary and max-sim only grows with more
+        // seeds, so an accepted pick provably beats all out-of-pool
+        // vectors and the procedure stays TRUE maximin (up to exact-tie
+        // id ordering); once the best remaining candidate crosses the
+        // boundary the batch ends and the next scan runs with the
+        // enlarged seed set. Worst case (adversarially homogeneous pools)
+        // degenerates to one pick per scan — the sequential procedure —
+        // never to bad seeds. initBatch = 1 takes the scan's own argmin
+        // row — bit-identical to the unbatched procedure.
+        val m0 = math.max(initBatch, 1)
         val seedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
         val first = v.orderBy("id").limit(1)
           .select(col("id"), quant.as("q"), col("v")).collect()
@@ -378,20 +397,65 @@ object Ann {
         seedIds += first.getLong(0)
         val seeds = scala.collection.mutable.ArrayBuffer(
           (checkDim(first.getSeq[Long](1).toArray), first.getSeq[Double](2).toArray))
+        def cosine(a: Array[Double], b: Array[Double]): Double = {
+          val n = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+          if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        }
         var exhausted = false
         while (seeds.length < k && !exhausted) {
+          val m = math.min(m0, k - seeds.length)
           val maxSim = seeds.map { case (_, sv) =>
             CosineSim(col("v"), typedLit(sv.toSeq).cast("array<double>"))
           }.reduce((a, b) => greatest(a, b))
-          v.filter(!col("id").isin(seedIds.toSeq: _*))
-            .select(col("id"), quant.as("q"), col("v"))
-            .orderBy(maxSim.asc, col("id").asc).limit(1).collect()
-            .headOption match {
-            case Some(next) =>
-              seedIds += next.getLong(0)
-              seeds += ((checkDim(next.getSeq[Long](1).toArray),
-                next.getSeq[Double](2).toArray))
-            case None => exhausted = true
+          val poolSize = if (m == 1) 1 else m * 4
+          val pool = v.filter(!col("id").isin(seedIds.toSeq: _*))
+            .select(col("id"), quant.as("q"), col("v"), maxSim.as("ms"))
+            .orderBy(col("ms").asc, col("id").asc).limit(poolSize)
+            .collect()
+          if (pool.isEmpty) exhausted = true
+          else {
+            // a short pool IS the whole remaining corpus — no out-of-pool
+            // vectors exist, so in-pool maximin is globally exact
+            val poolExhaustive = pool.length < poolSize
+            val poolMaxMs = pool(pool.length - 1).getDouble(3)
+            val cands = scala.collection.mutable.ArrayBuffer(pool.map { r =>
+              (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray,
+                r.getDouble(3))
+            }: _*)
+            var picked = 0
+            var boundaryHit = false
+            while (picked < m && cands.nonEmpty && !boundaryHit) {
+              // pool is scan-ordered; in-batch updates preserve the
+              // (ms, id) argmin rule by explicit selection
+              var best = 0
+              var i = 1
+              while (i < cands.length) {
+                if (cands(i)._4 < cands(best)._4 ||
+                    (cands(i)._4 == cands(best)._4 && cands(i)._1 < cands(best)._1))
+                  best = i
+                i += 1
+              }
+              if (picked > 0 && !poolExhaustive && cands(best)._4 >= poolMaxMs)
+                // can no longer prove the pick beats out-of-pool vectors:
+                // end the batch, re-scan with the enlarged seed set
+                boundaryHit = true
+              else {
+                val (id, q, vec, _) = cands.remove(best)
+                seedIds += id
+                seeds += ((checkDim(q), vec))
+                picked += 1
+                // remaining candidates: fold the new seed into their max-sim
+                var j = 0
+                while (j < cands.length) {
+                  val c = cands(j)
+                  val s = cosine(c._3, vec)
+                  if (s > c._4) cands(j) = (c._1, c._2, c._3, s)
+                  j += 1
+                }
+              }
+            }
           }
         }
         seeds.map(_._1).toArray

@@ -279,6 +279,39 @@ class DedupSpec extends SparkTestBase {
       "corpus scan must be bloom-pruned before the verify join")
   }
 
+  test("incrementalDedup: sharded bloom and unpruned fallback are verdict-identical") {
+    val corpus = (0L until 500L).map(i => (i, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    val batch = (0L until 100L).map { i =>
+      (1000L + i,
+        if (i % 3 == 0) s"corpus doc number $i" else s"fresh doc number $i")
+    }.toDF("doc_id", "text")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    // capacity 100k at 1% ≈ 120 KB of filter → 16 KB shards force N ≈ 8
+    val single = collectMap(Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      expectedItems = 100000))
+    val sharded = collectMap(Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      expectedItems = 100000, shardBytes = 16L << 10))
+    val fallback = collectMap(Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      expectedItems = 100000, maxBloomBytes = 0L))
+    assert(sharded == single, "hash-prefix sharding must not change any verdict")
+    assert(fallback == single, "the unpruned fallback must not change any verdict")
+    // plan shapes on the FILE-backed corpus: sharded probe keeps the
+    // prune (shard-dispatched might_contain); fallback has none
+    val shardedPhys = Dedup.incrementalDedup(docs, batch, "doc_id", "text",
+        expectedItems = 100000, shardBytes = 16L << 10)
+      .queryExecution.sparkPlan.toString
+    assert(shardedPhys.contains("might_contain") && shardedPhys.contains("pmod"),
+      "sharded prune must dispatch might_contain by hash pmod")
+    val fallbackPhys = Dedup.incrementalDedup(docs, batch, "doc_id", "text",
+        expectedItems = 100000, maxBloomBytes = 0L)
+      .queryExecution.sparkPlan.toString
+    assert(!fallbackPhys.contains("might_contain"),
+      "past maxBloomBytes no bloom literal may enter the plan")
+  }
+
   test("incrementalDedup: bloom false positives die in the exact verify join") {
     // deliberately undersized bloom at 50% fpp over 100 items: false
     // positives are near-certain, the verdicts must not change

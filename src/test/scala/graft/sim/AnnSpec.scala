@@ -317,6 +317,48 @@ class AnnSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop"), "no nested-loop join")
   }
 
+  test("batched maximin init picks the same seed set as the sequential procedure") {
+    // same planted-cluster fixture as the trained-quantizer test: 8
+    // well-separated clusters, so maximin must take exactly one seed per
+    // cluster in either pacing
+    val nClusters = 8; val perCluster = 50; val dim = 64
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val v = Array.tabulate(dim) { d =>
+        val h = (cluster * 7919 + j * 104729 + d * 31) % 997
+        0.05f * ((h / 997.0f) - 0.5f)
+      }
+      v(cluster * (dim / nClusters)) += 1.0f
+      v
+    }
+    import spark.implicits._
+    val clustered = (for {
+      c <- 0 until nClusters; j <- 0 until perCluster
+    } yield ((c * perCluster + j).toLong, vec(c, j)))
+      .toDF("vec_id", "embedding")
+    // iters = 0 → the returned centroids ARE the init seeds
+    val sequential = Ann.kmeansCentroids(clustered, k = nClusters, iters = 0,
+      dim = dim, init = "farthest")
+    val batched = Ann.kmeansCentroids(clustered, k = nClusters, iters = 0,
+      dim = dim, init = "farthest", initBatch = 4)
+    // 7 follow-up seeds in at most ceil(7/4) + boundary-retry scans. The
+    // pool boundary rule keeps every batched pick TRUE maximin, so the
+    // seed sequence is identical to the sequential procedure's
+    assert(batched.map(_.toSeq).toSeq == sequential.map(_.toSeq).toSeq,
+      "boundary-guarded batched maximin must reproduce the sequential seed sequence")
+    // and the sequence covers every planted cluster exactly once (the
+    // spike dimension identifies the cluster)
+    def clusterOf(seed: Array[Long]): Int = {
+      val spike = seed.zipWithIndex.maxBy(_._1)._2
+      spike / (dim / nClusters)
+    }
+    assert(batched.map(clusterOf).toSet == (0 until nClusters).toSet,
+      "batched maximin must land one seed in every planted cluster")
+    // initBatch = 1 is bit-identical (same argmin row per scan)
+    val one = Ann.kmeansCentroids(clustered, k = nClusters, iters = 0,
+      dim = dim, init = "farthest", initBatch = 1)
+    assert(one.map(_.toSeq).toSeq == sequential.map(_.toSeq).toSeq)
+  }
+
   test("kmeans guards: farthest init never duplicates seeds; ragged vectors fail loudly") {
     import spark.implicits._
     // 2 distinct vectors, k = 3: must FAIL like init="first", not
