@@ -72,7 +72,8 @@ object SparkEntry {
       "q_cel_strings" -> (graft.queries.QueriesR3.qCelStrings _),
       "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _),
       "q_facts" -> (graft.queries.QueriesR4.qFacts _),
-      "q_kmeans" -> (graft.queries.QueriesR4.qKmeans _)
+      "q_kmeans" -> (graft.queries.QueriesR4.qKmeans _),
+      "q_stream_replay" -> (graft.queries.QueriesR6.qStreamReplay _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,7 +138,8 @@ object SparkEntry {
       "q_cel_strings" -> graft.queries.QueriesR3.qCelStringsSql,
       "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql,
       "q_facts" -> graft.queries.QueriesR4.qFactsSql,
-      "q_kmeans" -> graft.queries.QueriesR4.qKmeansSql
+      "q_kmeans" -> graft.queries.QueriesR4.qKmeansSql,
+      "q_stream_replay" -> graft.queries.QueriesR6.qStreamReplaySql
     )
   }
 }
