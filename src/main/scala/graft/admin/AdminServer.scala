@@ -70,7 +70,7 @@ final class AdminServer(name: String = "graft", version: String = "3") {
   def registerReload(configPath: java.nio.file.Path): Unit = {
     val reload: Map[String, Seq[String]] => String = { _ =>
       val text = java.nio.file.Files.readString(configPath)
-      graft.pipeline.PipelineConfig.fromJson(text) // validate or throw
+      graft.pipeline.PipelineConfig.fromText(text, configPath.toString) // validate or throw
       java.nio.file.Files.writeString(configPath, text)
       "Successfully reloaded configuration" // apiroot.go:51
     }

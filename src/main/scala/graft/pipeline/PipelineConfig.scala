@@ -69,6 +69,22 @@ object PipelineConfig {
     fromReferenceAst(list, grok)
   }
 
+  /** Dialect dispatch for watched config files (live reload, admin
+    * validate): extension decides when present; otherwise a JSON
+    * document starts with `[`/`{` and anything else is YAML (the
+    * reference's native form).
+    */
+  def fromText(text: String, pathHint: String = "", grok: Grok = Grok.default): Seq[Stage] = {
+    val lower = pathHint.toLowerCase
+    if (lower.endsWith(".yaml") || lower.endsWith(".yml")) fromYaml(text, grok)
+    else if (lower.endsWith(".json")) fromJson(text, grok)
+    else {
+      val head = text.dropWhile(_.isWhitespace)
+      if (head.startsWith("[") || head.startsWith("{")) fromJson(text, grok)
+      else fromYaml(text, grok)
+    }
+  }
+
   /** State machine over sibling entries, mirroring `config.go:66-150`:
     * an `if` opens a conditional; following `else if` entries extend it;
     * a following `else` closes it; anything else (a `name:` action or a

@@ -128,7 +128,9 @@ object StreamingPipeline {
       try {
         val text = java.nio.file.Files.readString(path) // configs are small
         if (c == null || c._1 != text) { // full-text compare: no hash-collision hole
-          val parsed = graft.pipeline.PipelineConfig.fromJson(text)
+          // dialect by extension/sniff: the reference's watched configs
+          // are YAML (testing/*.yaml); our JSON dialect stays accepted
+          val parsed = graft.pipeline.PipelineConfig.fromText(text, configPath)
           cached = (text, parsed)
           parsed
         } else c._2

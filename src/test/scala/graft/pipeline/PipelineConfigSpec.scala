@@ -126,6 +126,16 @@ class PipelineConfigSpec extends SparkTestBase {
     assert(rows(2)._1 == "plain" && rows(2)._4 == "carver")
   }
 
+  test("fromText dispatches by extension, then by content sniff") {
+    val json = """[{"add_tag": {"tag": "j"}}]"""
+    val yaml = "- name: add_tag\n  tag: y\n"
+    assert(PipelineConfig.fromText(json, "pipeline.json").length == 1)
+    assert(PipelineConfig.fromText(yaml, "log-carver.yaml").length == 1)
+    // no extension: sniff — JSON starts with [/{, YAML otherwise
+    assert(PipelineConfig.fromText(json).length == 1)
+    assert(PipelineConfig.fromText(yaml).length == 1)
+  }
+
   test("YAML dialect: else without if rejected; dangling else-if rejected") {
     intercept[IllegalArgumentException](PipelineConfig.fromYaml(
       "- else:\n  - name: add_tag\n    tag: t\n"))
