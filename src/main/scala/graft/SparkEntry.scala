@@ -73,7 +73,8 @@ object SparkEntry {
       "q_nano_ts" -> (graft.queries.QueriesR3.qNanoTs _),
       "q_facts" -> (graft.queries.QueriesR4.qFacts _),
       "q_kmeans" -> (graft.queries.QueriesR4.qKmeans _),
-      "q_stream_replay" -> (graft.queries.QueriesR6.qStreamReplay _)
+      "q_stream_replay" -> (graft.queries.QueriesR6.qStreamReplay _),
+      "q_span_removal" -> (graft.queries.QueriesR6.qSpanRemoval _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,7 +140,8 @@ object SparkEntry {
       "q_nano_ts" -> graft.queries.QueriesR3.qNanoTsSql,
       "q_facts" -> graft.queries.QueriesR4.qFactsSql,
       "q_kmeans" -> graft.queries.QueriesR4.qKmeansSql,
-      "q_stream_replay" -> graft.queries.QueriesR6.qStreamReplaySql
+      "q_stream_replay" -> graft.queries.QueriesR6.qStreamReplaySql,
+      "q_span_removal" -> graft.queries.QueriesR6.qSpanRemovalSql
     )
   }
 }

@@ -418,6 +418,60 @@ object Dedup {
       .select(col("o.id").as("id"), col("o.start").as("start"), col("n_occ"))
   }
 
+  /** Exact substring dedup — REMOVAL (the actual output of Lee et al.
+    * 2021: the cleaned corpus, not just the span report). Every token
+    * covered by a non-surviving duplicated k-window occurrence is cut;
+    * the surviving occurrence is the lexicographic-min `(id, start)` of
+    * each window group, so exactly ONE copy of every duplicated span
+    * remains corpus-wide and the result is independent of partitioning.
+    * Output `(id, n_tokens, n_removed, clean_text)`; `clean_text` is the
+    * kept tokens space-joined (token-stream surgery — Lee et al. operate
+    * on token streams too, so original whitespace is normalized, which
+    * is exactly what their tokenizer round-trip does).
+    *
+    * Scale shape: [[duplicatedSpans]]'s single-pass bounded postings
+    * (groups hotter than `maxOcc` are corpus boilerplate, saturated to
+    * NULL and left for the cheaper boilerplate pass — so they are NOT
+    * removed here, documented), then the cut set flows id-partitioned:
+    * explode ×k to covered token indices, per-doc `collect_set`
+    * (bounded by the doc's own length), one key-partitioned join back
+    * to the corpus, per-row index filter. No corpus broadcast, no
+    * cartesian; the only exchanges are the window group and the id
+    * aggregation/join.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDup: Int = 2, maxOcc: Int = 1000): DataFrame = {
+    require(minDup >= 2 && maxOcc >= minDup,
+      s"need minDup >= 2 and maxOcc >= minDup, got minDup=$minDup maxOcc=$maxOcc")
+    val occGroups = spanWindows(df, idCol, textCol, k)
+      .groupBy(xxhash64(col("wtext")).as("_h"), col("wtext"))
+      .agg(graft.functions.BoundedCollectList(
+          struct(col("id"), col("start")), maxOcc).as("occs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minDup && col("occs").isNotNull)
+    val cuts = occGroups
+      // survivor = lexicographic min (id, start); deterministic because
+      // a non-saturated posting list holds EVERY occurrence
+      .select(array_min(col("occs")).as("keep"), explode(col("occs")).as("o"))
+      .filter(col("o") =!= col("keep"))
+      .select(col("o.id").as("id"),
+        explode(sequence(col("o.start"), col("o.start") + (k - 1))).as("idx"))
+      .groupBy("id")
+      .agg(sort_array(collect_set(col("idx"))).as("covered"))
+    val words = when(length(trim(coalesce(col(textCol), lit("")))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    df.select(col(idCol).as("id"), words.as("_w"))
+      .join(cuts, Seq("id"), "left")
+      .select(col("id"),
+        size(col("_w")).cast("long").as("n_tokens"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("_w"), (_, i) =>
+            !array_contains(coalesce(col("covered"), array().cast("array<int>")), i)),
+          " ").as("clean_text"))
+  }
+
   /** Per-doc duplicated-span accounting — the curation decision input
     * ("drop docs that are mostly boilerplate", "cut repeated spans"):
     * `(id, n_windows, n_dup_windows)`. Window totals are a pure column

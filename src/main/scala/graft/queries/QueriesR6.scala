@@ -102,4 +102,52 @@ object QueriesR6 {
       |  count(*) AS n_events,
       |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Exact substring-span dedup — REMOVAL (Lee et al. 2021's actual
+  // output, closing the loop on q_span_dedup's detection): one copy of
+  // every duplicated k-window survives corpus-wide (lexicographic-min
+  // (doc, start)), every other covered token is cut. TEXT EQUALITY on
+  // the cleaned corpus — the oracle replays windowing, survivor
+  // selection and token surgery end to end in SQL.
+  // ---------------------------------------------------------------
+  val SpanRemovalK = 8
+  def qSpanRemoval(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.removeDuplicatedSpans(tbl(spark, dir, "documents"),
+        "doc_id", "text", SpanRemovalK, minDup = 2, maxOcc = 1000)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  val qSpanRemovalSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                x -> len(x) > 0) AS words
+       |  FROM documents),
+       |wins AS (
+       |  SELECT doc_id, i AS start,
+       |    array_to_string(words[(i+1):(i+$SpanRemovalK)], ' ') AS wtext
+       |  FROM w CROSS JOIN range(256) t(i)
+       |  WHERE i + $SpanRemovalK <= len(words)),
+       |g AS (SELECT wtext FROM wins GROUP BY wtext
+       |      HAVING count(*) >= 2 AND count(*) <= 1000),
+       |occ AS (
+       |  SELECT wins.doc_id, wins.start,
+       |    row_number() OVER (PARTITION BY wins.wtext
+       |                       ORDER BY wins.doc_id, wins.start) AS rn
+       |  FROM wins JOIN g USING (wtext)),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, CAST(start + o AS INT) AS idx
+       |  FROM occ CROSS JOIN range($SpanRemovalK) r(o) WHERE rn > 1),
+       |cl AS (SELECT doc_id, list_sort(list(idx)) AS covered
+       |       FROM cov GROUP BY doc_id)
+       |SELECT w.doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(len(covered), 0) AS BIGINT) AS n_removed,
+       |  coalesce(array_to_string(
+       |    list_transform(
+       |      list_filter(range(0, len(words)),
+       |        i -> covered IS NULL OR NOT list_contains(covered, CAST(i AS INT))),
+       |      i -> words[CAST(i AS INT) + 1]), ' '), '') AS clean_text
+       |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
 }

@@ -279,6 +279,50 @@ class DedupSpec extends SparkTestBase {
       "corpus scan must be bloom-pruned before the verify join")
   }
 
+  test("removeDuplicatedSpans: one survivor per span, covered tokens cut, local replay equality") {
+    val k = 3
+    val docs = Seq(
+      // docs 1 and 2 share the span "a b c d" (two overlapping 3-windows);
+      // doc 1 owns the lexicographic-min occurrences, so doc 2 loses them
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d r"),
+      // doc 3 repeats a span WITHIN itself: second occurrence cut
+      (3L, "m n o w w m n o w w"),
+      // clean doc: untouched (modulo whitespace normalization)
+      (4L, "u v w x"),
+      // shorter than k: no windows, fully kept
+      (5L, "s t"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    // local reference: same windowing, min-(id,start) survivor, cut sets
+    val local = Map(
+      1L -> "a b c d x y z".split(" "), 2L -> "p q a b c d r".split(" "),
+      3L -> "m n o w w m n o w w".split(" "), 4L -> "u v w x".split(" "),
+      5L -> "s t".split(" "), 6L -> Array.empty[String])
+    val wins = for {
+      (id, ws) <- local.toSeq
+      s <- 0 to ws.length - k
+    } yield (ws.slice(s, s + k).mkString(" "), id, s)
+    val cuts = wins.groupBy(_._1).filter(_._2.size >= 2).values.flatMap { occ =>
+      occ.sortBy(o => (o._2, o._3)).drop(1)
+    }
+    val covered = cuts.toSeq.flatMap { case (_, id, s) => (s until s + k).map(id -> _) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = local.toSeq.sortBy(_._1).map { case (id, ws) =>
+      val cov = covered.getOrElse(id, Set.empty)
+      (id, ws.length.toLong, cov.size.toLong,
+        ws.zipWithIndex.collect { case (w, i) if !cov(i) => w }.mkString(" "))
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+    // the shared span survives EXACTLY once corpus-wide
+    val cleaned = got.map(_._4).mkString(" | ")
+    assert("a b c d".r.findAllIn(cleaned).size == 1)
+  }
+
   test("incrementalDedup: sharded bloom and unpruned fallback are verdict-identical") {
     val corpus = (0L until 500L).map(i => (i, s"corpus doc number $i"))
       .toDF("doc_id", "text")
