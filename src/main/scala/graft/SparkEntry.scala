@@ -74,7 +74,8 @@ object SparkEntry {
       "q_facts" -> (graft.queries.QueriesR4.qFacts _),
       "q_kmeans" -> (graft.queries.QueriesR4.qKmeans _),
       "q_stream_replay" -> (graft.queries.QueriesR6.qStreamReplay _),
-      "q_span_removal" -> (graft.queries.QueriesR6.qSpanRemoval _)
+      "q_span_removal" -> (graft.queries.QueriesR6.qSpanRemoval _),
+      "q_lm_perplexity" -> (graft.queries.QueriesR6.qLmPerplexity _)
     )
   }
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -141,7 +142,8 @@ object SparkEntry {
       "q_facts" -> graft.queries.QueriesR4.qFactsSql,
       "q_kmeans" -> graft.queries.QueriesR4.qKmeansSql,
       "q_stream_replay" -> graft.queries.QueriesR6.qStreamReplaySql,
-      "q_span_removal" -> graft.queries.QueriesR6.qSpanRemovalSql
+      "q_span_removal" -> graft.queries.QueriesR6.qSpanRemovalSql,
+      "q_lm_perplexity" -> graft.queries.QueriesR6.qLmPerplexitySql
     )
   }
 }

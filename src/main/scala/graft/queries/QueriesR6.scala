@@ -150,4 +150,50 @@ object QueriesR6 {
        |        i -> covered IS NULL OR NOT list_contains(covered, CAST(i AS INT))),
        |      i -> words[CAST(i AS INT) + 1]), ' '), '') AS clean_text
        |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // CCNet-style LM perplexity filter (Wenzek et al. 2020): a char-
+  // trigram LM with add-one smoothing trained on the deterministic
+  // doc_id % 10 == 0 reference slice, scoring every document by mean
+  // log10 P(c3|c1c2). The model is alphabet-bounded (29^3), so scoring
+  // is a zero-shuffle codegen'd walk; the oracle retrains and rescores
+  // the whole model in SQL (floats → round(…,4) per repo convention).
+  // ---------------------------------------------------------------
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val model = graft.text.CharTrigramLm.train(
+      docs.filter(col("doc_id") % 10 === 0), "text")
+    val s = graft.text.CharTrigramLm.score(
+      graft.text.CharTrigramLm.normalize(col("text")), model)
+    docs.select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"), col("s.n_tri").as("n_tri"),
+        round(when(col("s.n_tri") > 0, col("s.sum_logprob") / col("s.n_tri")), 4)
+          .as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+  val qLmPerplexitySql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(regexp_replace(regexp_replace(
+       |      coalesce(text, ''), '\\s', ' ', 'g'),
+       |      '[^a-zA-Z0-9 ]+', '_', 'g')), '[0-9]', '0', 'g') AS s
+       |  FROM documents),
+       |tg AS (
+       |  SELECT doc_id, substr(s, CAST(i + 1 AS INT), 3) AS tri
+       |  FROM n CROSS JOIN range(2048) t(i)
+       |  WHERE i + 3 <= len(s)),
+       |model AS (
+       |  SELECT tri, count(*) AS c3 FROM tg WHERE doc_id % 10 = 0 GROUP BY tri),
+       |model2 AS (
+       |  SELECT substr(tri, 1, 2) AS bi, sum(c3) AS c2 FROM model GROUP BY 1),
+       |scored AS (
+       |  SELECT tg.doc_id, count(*) AS n_tri,
+       |    sum(log10((coalesce(m.c3, 0) + 1.0) / (coalesce(b.c2, 0) + 29.0))) AS slp
+       |  FROM tg
+       |  LEFT JOIN model m USING (tri)
+       |  LEFT JOIN model2 b ON substr(tg.tri, 1, 2) = b.bi
+       |  GROUP BY tg.doc_id)
+       |SELECT n.doc_id, CAST(coalesce(sc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  round(sc.slp / sc.n_tri, 4) AS mean_logprob
+       |FROM n LEFT JOIN scored sc USING (doc_id) ORDER BY n.doc_id""".stripMargin
 }

@@ -283,6 +283,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(sr - 1.0 / 3) < 1e-9, s"sentence-initial 'The' must count, got $sr")
   }
 
+  test("charTrigramLm: normalization classes, bounded model, local score replay") {
+    val ref = Seq((0L, "The cat sat, 42 times!"), (1L, "the cat ran")).toDF("doc_id", "text")
+    // normalization: ws→' ', non-alnum runs→one '_', lower, digits→'0'
+    val norm = ref.select(graft.text.CharTrigramLm.normalize(col("text")))
+      .collect().map(_.getString(0))
+    assert(norm(0) == "the cat sat_ 00 times_")
+    assert(norm(1) == "the cat ran")
+    val tri = graft.text.CharTrigramLm.train(ref, "text")
+    // model is alphabet-bounded and counts real occurrences: "the" once
+    // per doc, " ca" twice, never more groups than distinct trigrams
+    assert(tri("the") == 2L && tri(" ca") == 2L && tri("at_") == 1L)
+    assert(tri.keys.forall(_.length == 3))
+    // local replay of the scored sum on a held-out doc
+    val bi = graft.text.CharTrigramLm.prefixCounts(tri)
+    val doc = "the cat"
+    val expected = (0 until doc.length - 2).map { i =>
+      val t = doc.substring(i, i + 3)
+      math.log10((tri.getOrElse(t, 0L) + 1.0) /
+        (bi.getOrElse(t.substring(0, 2), 0L) + 29.0))
+    }.sum
+    val got = Seq(doc).toDF("text")
+      .select(graft.text.CharTrigramLm.score(col("text"), tri).as("s"))
+      .select(col("s.n_tri"), col("s.sum_logprob")).collect()(0)
+    assert(got.getLong(0) == 5L)
+    assert(math.abs(got.getDouble(1) - expected) < 1e-12)
+    // in-reference text scores higher (less negative) than gibberish
+    def mean(s: String): Double = {
+      val r = Seq(s).toDF("text")
+        .select(graft.text.CharTrigramLm.score(
+          graft.text.CharTrigramLm.normalize(col("text")), tri).as("x"))
+        .select(col("x.sum_logprob") / col("x.n_tri")).collect()(0).getDouble(0)
+      r
+    }
+    assert(mean("the cat sat") > mean("zqxj wvkp zzz"),
+      "reference-like text must out-score gibberish")
+    // short/empty docs: zero trigrams, zero sum (callers null the mean)
+    val empty = Seq("ab").toDF("text")
+      .select(graft.text.CharTrigramLm.score(col("text"), tri).as("s"))
+      .select(col("s.n_tri"), col("s.sum_logprob")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
+  }
+
   test("c4Clean handles CRLF pages (trailing \\r must not fail the punctuation rule)") {
     val page = Seq(
       "This is a perfectly fine sentence for the corpus.",
