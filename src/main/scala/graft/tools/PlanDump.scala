@@ -74,6 +74,13 @@ object PlanDump {
     // source_cap must be the top_k_smallest aggregation (two
     // HashAggregates around one groups-sized Exchange), never a Window
     dump("q_source_cap", graft.queries.QueriesR5.qSourceCap(s, dir))
+    // round-6 surfaces: span_removal must be window-group + id-keyed
+    // cut aggregation + ONE join back (no corpus broadcast, no
+    // cartesian); lm_perplexity's SCORING side must be a pure
+    // projection (the model is expression state — zero Exchange before
+    // the presentation orderBy)
+    dump("q_span_removal", graft.queries.QueriesR6.qSpanRemoval(s, dir))
+    dump("q_lm_perplexity", graft.queries.QueriesR6.qLmPerplexity(s, dir))
     s.stop()
   }
 }
