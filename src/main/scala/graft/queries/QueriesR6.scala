@@ -104,6 +104,50 @@ object QueriesR6 {
       |FROM events GROUP BY 1, 2 ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // Streaming exact dedup, driver-verified: the documents table
+  // streamed through dedupExactStream (dropDuplicatesWithinWatermark on
+  // the two-lane 128-bit text hash — ~32 B state per distinct doc, text
+  // never enters state), committed by the transactional file sink, and
+  // the committed output compared as a TEXT SET. Which doc_id survives
+  // a duplicate group depends on arrival order, but the SET of distinct
+  // texts does not — that is the batch-oracle-checkable projection of
+  // the streaming operator. Event times are synthesized inside the
+  // watermark horizon so every duplicate is in range (the horizon IS
+  // the dedup window; out-of-horizon re-emission is the documented
+  // state bound, not a bug).
+  // ---------------------------------------------------------------
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base0 = tbl(spark, dir, "documents")
+    // the shipped table has no byte-identical texts, so plant them:
+    // every 5th doc re-enters under a new id — the cross-file (hence
+    // cross-micro-batch) duplicates the state store must catch
+    val docs = base0.select(col("doc_id"), col("text"))
+      .unionByName(base0.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(100L))).as("ts"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+    val srcDir = s"$base/src"
+    docs.repartition(8, col("doc_id")).write.mode("overwrite").parquet(srcDir)
+    val query = graft.streaming.StreamingPipeline.dedupExactStream(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(srcDir),
+        textCol = "text", tsCol = "ts", horizon = "1 hour")
+      .select("text")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$base/out").select("text").orderBy("text")
+  }
+  val qStreamDedupSql: String =
+    """SELECT text FROM (SELECT DISTINCT text FROM documents)
+      |ORDER BY text NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
   // Exact substring-span dedup — REMOVAL (Lee et al. 2021's actual
   // output, closing the loop on q_span_dedup's detection): one copy of
   // every duplicated k-window survives corpus-wide (lexicographic-min
