@@ -215,6 +215,57 @@ object QueriesR6 {
           .as("mean_logprob"))
       .orderBy("doc_id")
   }
+  // ---------------------------------------------------------------
+  // fastText-style quality-classifier inference (the FineWeb-Edu /
+  // LLaMA curation stage): hashed unigram+bigram features → weight
+  // lookup → mean → sigmoid, as ONE zero-shuffle projection. Weights
+  // are a deterministic synthetic model (w[i] from a Knuth-multiplier
+  // residue) standing in for an offline-trained array; the oracle
+  // recomputes features, buckets, weights and the sigmoid end to end.
+  // ---------------------------------------------------------------
+  val ClassifierBuckets = 512
+  def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    // foldable weight array: w[i] = ((i·2654435761) mod 2000)/1000 − 1
+    val weights = transform(sequence(lit(0), lit(ClassifierBuckets - 1)),
+      i => pmod(i.cast("long") * 2654435761L, lit(2000L)).cast("double") / 1000.0 - 1.0)
+    val s = graft.text.TextAnalysis.hashedLinearScore(
+      col("text"), weights, ClassifierBuckets)
+    docs.select(col("doc_id"), s.as("s"))
+      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
+        round(col("s.score"), 4).as("score"))
+      .orderBy("doc_id")
+  }
+  val qQualityClassifierSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+       |                w -> len(w) > 0) AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_concat(toks,
+       |      CASE WHEN len(toks) >= 2 THEN
+       |        list_transform(range(1, len(toks)),
+       |          i -> toks[CAST(i AS INT)] || '_' || toks[CAST(i AS INT) + 1])
+       |      ELSE [] END) AS feats
+       |  FROM d),
+       |b AS (
+       |  SELECT doc_id, len(feats) AS n,
+       |    list_transform(feats, x ->
+       |      (len(x) * 97
+       |       + ascii(substring(x, 1, 1)) * 961
+       |       + ascii(substring(x, CAST((len(x) + 1) // 2 AS INT), 1)) * 31
+       |       + ascii(substring(x, CAST(len(x) AS INT), 1))) % $ClassifierBuckets) AS idx
+       |  FROM f)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_feats,
+       |  round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN
+       |    list_reduce(list_prepend(0.0, list_transform(idx,
+       |      i -> ((i * 2654435761) % 2000) / 1000.0 - 1.0)),
+       |      (a, x) -> a + x) / n
+       |  ELSE 0.0 END))), 4) AS score
+       |FROM b ORDER BY doc_id""".stripMargin
+
   val qLmPerplexitySql: String =
     s"""WITH n AS (
        |  SELECT doc_id,

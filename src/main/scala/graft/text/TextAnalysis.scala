@@ -366,4 +366,47 @@ object TextAnalysis {
     // an empty token list folds to the bare init (7) — no special case
     aggregate(wsWords(text), lit(7L),
       (acc, w) => (acc * 31 + length(w) * 17 + ascii(substring(w, 1, 1))) % 1000000007L)
+
+  /** Hashing-trick feature bucket (Weinberger et al. 2009, the fastText
+    * input layer): flat char-probe hash (length + first/mid/last chars)
+    * in exact integer arithmetic both engines replay verbatim —
+    * collisions are the hashing trick's working mode, not an error.
+    * `(length+1)/2` truncates via int cast (positive operands), matching
+    * SQL's `//`.
+    */
+  def featureBucket(f: Column, nBuckets: Int): Column =
+    (length(f).cast("long") * 97L
+      + ascii(substring(f, 1, 1)).cast("long") * 961L
+      + ascii(f.substr(((length(f) + 1) / 2).cast("int"), lit(1))).cast("long") * 31L
+      + ascii(f.substr(length(f), lit(1))).cast("long")) % nBuckets.toLong
+
+  /** fastText-style linear text classifier INFERENCE at corpus scale
+    * (the quality-classifier stage of FineWeb-Edu / LLaMA-style data
+    * curation): lowercased whitespace unigrams + token bigrams
+    * (fastText `wordNgrams=2`), hashed into `nBuckets` weight slots, the
+    * document scored `sigmoid(bias + mean(w[bucket(feat)]))` — fastText's
+    * averaged input vectors collapsed to the linear case. Training
+    * happens offline (fastText's own trainer or anything emitting a
+    * weight-per-bucket array); this runs the resulting model over the
+    * corpus as a PURE PROJECTION — the weights array is plan state
+    * (bounded by `nBuckets`, never the corpus), zero shuffle at any
+    * scale, same pattern as [[CharTrigramLm]].
+    *
+    * Returns struct(n_feats, score); an empty document scores
+    * sigmoid(bias) from zero features.
+    */
+  def hashedLinearScore(text: Column, weights: Column, nBuckets: Int,
+      bias: Double = 0.0): Column = {
+    val toks = wsWords(lower(text))
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit("_"), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    val sum = aggregate(feats, lit(0.0),
+      (acc, f) => acc + element_at(weights, featureBucket(f, nBuckets).cast("int") + 1))
+    val mean = when(size(feats) > 0, sum / size(feats)).otherwise(lit(0.0))
+    struct(size(feats).cast("long").as("n_feats"),
+      (lit(1.0) / (lit(1.0) + exp(-(mean + lit(bias))))).as("score"))
+  }
 }

@@ -283,6 +283,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(sr - 1.0 / 3) < 1e-9, s"sentence-initial 'The' must count, got $sr")
   }
 
+  test("hashedLinearScore: features, buckets and sigmoid match a local replay") {
+    val b = 64
+    // constant weights make the score a pure feature-count check first
+    val ones = transform(sequence(lit(0), lit(b - 1)), _ => lit(0.5))
+    val r1 = Seq("The cat sat").toDF("text")
+      .select(TextAnalysis.hashedLinearScore(col("text"), ones, b).as("s"))
+      .select(col("s.n_feats"), col("s.score")).collect()(0)
+    // 3 unigrams + 2 bigrams; mean weight 0.5 → sigmoid(0.5)
+    assert(r1.getLong(0) == 5L)
+    assert(math.abs(r1.getDouble(1) - 1.0 / (1.0 + math.exp(-0.5))) < 1e-12)
+    // varying weights: replay buckets + weights locally
+    val weights = (0 until b).map(i => ((i.toLong * 2654435761L) % 2000L) / 1000.0 - 1.0)
+    val wCol = transform(sequence(lit(0), lit(b - 1)),
+      i => pmod(i.cast("long") * 2654435761L, lit(2000L)).cast("double") / 1000.0 - 1.0)
+    def bucket(f: String): Int = {
+      val mid = (f.length + 1) / 2
+      ((f.length * 97L + f.charAt(0).toLong * 961L
+        + f.charAt(mid - 1).toLong * 31L + f.charAt(f.length - 1).toLong) % b).toInt
+    }
+    val text = "alpha beta gamma alpha"
+    val toks = text.split("\\s+").toSeq
+    val feats = toks ++ toks.sliding(2).map(_.mkString("_"))
+    val expected = 1.0 / (1.0 + math.exp(-(feats.map(f => weights(bucket(f))).sum / feats.size)))
+    val r2 = Seq(text).toDF("text")
+      .select(TextAnalysis.hashedLinearScore(col("text"), wCol, b).as("s"))
+      .select(col("s.n_feats"), col("s.score")).collect()(0)
+    assert(r2.getLong(0) == feats.size.toLong)
+    assert(math.abs(r2.getDouble(1) - expected) < 1e-12, s"got ${r2.getDouble(1)} want $expected")
+    // empty/NULL docs: zero features → sigmoid(bias) = 0.5 at bias 0
+    val r3 = Seq[String](null).toDF("text")
+      .select(TextAnalysis.hashedLinearScore(col("text"), ones, b).as("s"))
+      .select(col("s.n_feats"), col("s.score")).collect()(0)
+    assert(r3.getLong(0) == 0L && r3.getDouble(1) == 0.5)
+  }
+
   test("charTrigramLm: normalization classes, bounded model, local score replay") {
     val ref = Seq((0L, "The cat sat, 42 times!"), (1L, "the cat ran")).toDF("doc_id", "text")
     // normalization: ws→' ', non-alnum runs→one '_', lower, digits→'0'
