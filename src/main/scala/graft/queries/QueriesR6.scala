@@ -196,6 +196,42 @@ object QueriesR6 {
        |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // GPT-style sequence packing (concatenate-and-chunk): documents in
+  // doc_id order packed into fixed 512-token training windows, docs
+  // splitting across boundaries like GPT-2/3 pretraining. The engine's
+  // two-level cumulative sum (per-bucket offsets + within-bucket
+  // windows — never a global-order window) must be bit-identical to the
+  // oracle's plain global running sum.
+  // ---------------------------------------------------------------
+  val PackBudget = 512L
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    graft.sample.Sampling.packSequences(docs, "doc_id",
+        graft.text.TextAnalysis.wsTokenCount(col("text")), PackBudget,
+        bucketSize = 100L) // small buckets so sf0.01 exercises MANY buckets
+      .select(col("id").as("doc_id"), col("n_tokens"), col("cum_prev"),
+        col("first_bin"), col("last_bin"), col("bin_offset"))
+      .orderBy("doc_id")
+  }
+  val qPackSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+       |                         w -> len(w) > 0)) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+       |  FROM t)
+       |SELECT doc_id, n AS n_tokens, cum_prev,
+       |  cum_prev // $PackBudget AS first_bin,
+       |  CASE WHEN n > 0 THEN (cum_prev + n - 1) // $PackBudget
+       |       ELSE cum_prev // $PackBudget END AS last_bin,
+       |  cum_prev % $PackBudget AS bin_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // CCNet-style LM perplexity filter (Wenzek et al. 2020): a char-
   // trigram LM with add-one smoothing trained on the deterministic
   // doc_id % 10 == 0 reference slice, scoring every document by mean

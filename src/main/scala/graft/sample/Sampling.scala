@@ -94,6 +94,59 @@ object Sampling {
     * Returns `(groupCol, idCol)` of the kept rows; callers semi-join it
     * back (on the id) to retain payload columns.
     */
+  /** GPT-style sequence PACKING — concatenate the corpus in key order
+    * and chunk it into fixed-`budget` training windows (the
+    * concatenate-and-chunk step of causal-LM pretraining; documents MAY
+    * split across window boundaries, exactly like GPT-2/3 packing).
+    * Output per doc: its exclusive running token offset, the first/last
+    * window (bin) it lands in, and its offset inside the first bin —
+    * everything a writer needs to emit packed sequences.
+    *
+    * Scale shape: the naive spelling is a WINDOW OVER A GLOBAL ORDER —
+    * one partition holding the corpus, the classic scale killer. This
+    * runs the standard two-level cumulative sum instead: docs group into
+    * `bucketSize`-wide key ranges (monotone in the key, so bucket order
+    * IS key order); per-bucket token totals aggregate first (bounded:
+    * corpus/bucketSize rows), their exclusive prefix sum runs on that
+    * SMALL relation (the only single-partition window, over buckets not
+    * docs — pick bucketSize so bucket count fits a partition, e.g. 10⁶
+    * docs/bucket at 10¹² docs → 10⁶ buckets), and the per-doc window
+    * partitions BY BUCKET — parallel across buckets, never global. The
+    * result is bit-identical to the global window (integer sums), which
+    * is exactly what the oracle replays.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+      budget: Long, bucketSize: Long = 1000000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("id"),
+      coalesce(nTokens.cast("long"), lit(0L)).as("n"))
+    // integer `div`, never float `/`: cumulative token counts pass 2⁵³ at
+    // the 10¹²-doc scale this exists for, where double division rounds.
+    // div truncates toward zero, which is monotone in id, so bucket
+    // order stays key order even for negative ids
+    val withBucket = base.withColumn("_b", expr(s"id div $bucketSize"))
+    val bucketOffsets = withBucket.groupBy("_b").agg(sum(col("n")).as("_bn"))
+      .withColumn("_boff",
+        coalesce(sum(col("_bn")).over(
+          Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bn")
+    val inBucket = Window.partitionBy("_b").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withBucket
+      .join(bucketOffsets, Seq("_b"))
+      .withColumn("cum_prev",
+        col("_boff") + coalesce(sum(col("n")).over(inBucket), lit(0L)))
+      .withColumn("n_tokens", col("n"))
+      .withColumn("first_bin", expr(s"cum_prev div $budget"))
+      .withColumn("last_bin",
+        when(col("n") > 0, expr(s"(cum_prev + n - 1) div $budget"))
+          .otherwise(col("first_bin")))
+      .select(col("id"), col("n_tokens"), col("cum_prev"),
+        col("first_bin"), col("last_bin"),
+        pmod(col("cum_prev"), lit(budget)).as("bin_offset"))
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
       k: Int): DataFrame = {
     val sortKey = concat(

@@ -129,4 +129,41 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("top_k_smallest") && !plan.contains("Window"),
       "per-group cap must be the bounded aggregation, never a window")
   }
+
+  test("packSequences: two-level cumsum equals the global running sum; bins and offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // sparse, unordered, NEGATIVE ids across several buckets; token
+    // counts chosen so docs straddle bin boundaries
+    val docs = Seq(
+      (-205L, 3L), (-12L, 10L), (7L, 120L), (8L, 0L), (130L, 500L),
+      (131L, 40L), (299L, 777L), (1000L, 1L)
+    ).toDF("doc_id", "nt").repartition(5)
+    val got = graft.sample.Sampling.packSequences(docs, "doc_id", col("nt"),
+        budget = 256L, bucketSize = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // local replay: plain global running sum in id order
+    val local = Seq((-205L, 3L), (-12L, 10L), (7L, 120L), (8L, 0L), (130L, 500L),
+      (131L, 40L), (299L, 777L), (1000L, 1L)).sortBy(_._1)
+    var cum = 0L
+    val expect = local.map { case (id, n) =>
+      val prev = cum; cum += n
+      val first = prev / 256L
+      val last = if (n > 0) (prev + n - 1) / 256L else first
+      (id, n, prev, first, last, prev % 256L)
+    }
+    assert(got.toSeq == expect, s"got ${got.toSeq}\nexpect $expect")
+    // a 500-token doc at offset 133 must span bins 0..2 of 256
+    val straddler = got.find(_._1 == 130L).get
+    assert(straddler._4 < straddler._5, "big doc must straddle bins")
+    // partitioning invariance
+    val again = graft.sample.Sampling.packSequences(docs.repartition(1),
+        "doc_id", col("nt"), budget = 256L, bucketSize = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(again.toSeq == expect)
+  }
 }
