@@ -81,6 +81,12 @@ object PlanDump {
     // the presentation orderBy)
     dump("q_span_removal", graft.queries.QueriesR6.qSpanRemoval(s, dir))
     dump("q_lm_perplexity", graft.queries.QueriesR6.qLmPerplexity(s, dir))
+    // classifier must be a pure projection (weights are a foldable plan
+    // literal); packing must show the two-level cumsum — a bucket-sized
+    // single-partition window feeding bucket-partitioned windows, never
+    // one Window over the whole corpus
+    dump("q_quality_classifier", graft.queries.QueriesR6.qQualityClassifier(s, dir))
+    dump("q_pack_sequences", graft.queries.QueriesR6.qPackSequences(s, dir))
     s.stop()
   }
 }
