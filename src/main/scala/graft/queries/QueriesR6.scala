@@ -196,6 +196,53 @@ object QueriesR6 {
        |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Cross-document LINE dedup (RefinedWeb/FineWeb): every doc gets the
+  // same planted footer lines (the nav/copyright boilerplate shape) on
+  // top of its sentence-split body; lines whose trimmed form appears in
+  // >= 30 distinct docs are dropped, everything else kept verbatim.
+  // TEXT EQUALITY on the cleaned pages.
+  // ---------------------------------------------------------------
+  val LineDedupMinDf = 30
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val raw = concat(
+      replace(coalesce(col("text"), lit("")), lit(". "), lit(".\n")),
+      lit("\nhome | products | about us\ncopyright 2024 example corp"))
+    graft.text.TextAnalysis.dedupLines(
+        docs.select(col("doc_id"), raw.as("text")), "doc_id", "text", LineDedupMinDf)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val qLineDedupSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    replace(coalesce(text, ''), '. ', '.' || chr(10)) || chr(10) ||
+       |    'home | products | about us' || chr(10) ||
+       |    'copyright 2024 example corp' AS raw
+       |  FROM documents),
+       |l0 AS (
+       |  SELECT doc_id,
+       |    string_split(replace(raw, chr(13) || chr(10), chr(10)), chr(10)) AS lines
+       |  FROM m),
+       |l AS (
+       |  SELECT doc_id, CAST(i AS INT) AS idx,
+       |    lines[CAST(i AS INT) + 1] AS line,
+       |    trim(lines[CAST(i AS INT) + 1]) AS t
+       |  FROM l0 CROSS JOIN range(512) r(i) WHERE i < len(lines)),
+       |hot AS (
+       |  SELECT t FROM l WHERE len(t) > 0
+       |  GROUP BY t HAVING count(DISTINCT doc_id) >= $LineDedupMinDf),
+       |kept AS (SELECT l.* FROM l LEFT JOIN hot ON l.t = hot.t WHERE hot.t IS NULL),
+       |r AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(line, chr(10) ORDER BY idx) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT l0.doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(r.clean_text, '') AS clean_text
+       |FROM l0 LEFT JOIN r USING (doc_id) ORDER BY l0.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // GPT-style sequence packing (concatenate-and-chunk): documents in
   // doc_id order packed into fixed 512-token training windows, docs
   // splitting across boundaries like GPT-2/3 pretraining. The engine's

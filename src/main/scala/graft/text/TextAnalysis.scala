@@ -367,6 +367,53 @@ object TextAnalysis {
     aggregate(wsWords(text), lit(7L),
       (acc, w) => (acc * 31 + length(w) * 17 + ascii(substring(w, 1, 1))) % 1000000007L)
 
+  /** Cross-document LINE dedup (the RefinedWeb/FineWeb line-level stage:
+    * nav menus, footers and cookie banners repeat VERBATIM across many
+    * pages — drop every line whose trimmed form appears in ≥ `minDf`
+    * distinct documents, keep everything else byte-verbatim). Blank
+    * lines never count as duplicates and are always kept. Output
+    * `(id, n_lines, n_kept, clean_text)` with kept lines re-joined in
+    * original order.
+    *
+    * Scale shape: lines group on `(xxhash64(trimmed), trimmed)` — the
+    * 8-byte-led key rule — into a COUNT (no posting collection, so a
+    * line repeated across the whole corpus is one counter, never one
+    * reducer's array); the hot set rides a hash equi-join back (anti),
+    * NOT a broadcast — boilerplate volume grows with the corpus, the
+    * same reason jaccardPairs bans the stop-shingle broadcast. Per-doc
+    * reassembly is a collect bounded by the document's own size (the
+    * covered-set pattern of [[graft.dedup.Dedup.removeDuplicatedSpans]]).
+    */
+  def dedupLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDf: Int): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
+          .as(Seq("idx", "line")))
+      .withColumn("_t", trim(col("line")))
+    // aliased away from the parent relation: `hot` derives from `lines`
+    // and an unaliased self-join condition is ambiguous
+    val hot = lines.filter(length(col("_t")) > 0)
+      .groupBy(xxhash64(col("_t")).as("_hh"), col("_t").as("_ht"))
+      .agg(count_distinct(col("id")).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select(col("_hh"), col("_ht"))
+    val kept = lines.join(hot,
+      col("_t") === col("_ht") && xxhash64(col("_t")) === col("_hh"),
+      "left_anti")
+    val totals = df.select(col(idCol).as("id"),
+      size(split(coalesce(col(textCol), lit("")), "\r?\n")).cast("long").as("n_lines"))
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"))
+    totals.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Hashing-trick feature bucket (Weinberger et al. 2009, the fastText
     * input layer): flat char-probe hash (length + first/mid/last chars)
     * in exact integer arithmetic both engines replay verbatim —

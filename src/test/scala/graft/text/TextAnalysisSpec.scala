@@ -283,6 +283,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(sr - 1.0 / 3) < 1e-9, s"sentence-initial 'The' must count, got $sr")
   }
 
+  test("dedupLines: hot lines cut by trimmed-form df, rest kept verbatim in order") {
+    val docs = Seq(
+      (1L, "unique opening line\nCopyright 2024\nbody one\n  Copyright 2024  "),
+      (2L, "Copyright 2024\nbody two"),
+      (3L, "body three\nCopyright 2024"),
+      (4L, "no boilerplate here\n\ntrailing blank kept")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.dedupLines(docs, "doc_id", "text", minDf = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 'Copyright 2024' (trimmed) appears in 3 distinct docs → cut
+    // EVERYWHERE, including doc 1's space-padded variant; doc 1's other
+    // lines keep their exact bytes and order
+    assert(got(0) == ((1L, 4L, 2L, "unique opening line\nbody one")))
+    assert(got(1) == ((2L, 2L, 1L, "body two")))
+    assert(got(2) == ((3L, 2L, 1L, "body three")))
+    // blank lines never count as duplicates and are kept verbatim
+    assert(got(3) == ((4L, 3L, 3L, "no boilerplate here\n\ntrailing blank kept")))
+    // below the threshold nothing is cut
+    val none = graft.text.TextAnalysis.dedupLines(docs, "doc_id", "text", minDf = 4)
+      .agg(org.apache.spark.sql.functions.sum(col("n_lines") - col("n_kept")))
+      .collect()(0).getLong(0)
+    assert(none == 0L)
+  }
+
   test("hashedLinearScore: features, buckets and sigmoid match a local replay") {
     val b = 64
     // constant weights make the score a pure feature-count check first
