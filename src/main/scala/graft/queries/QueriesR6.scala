@@ -196,6 +196,57 @@ object QueriesR6 {
        |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Product quantization (Jégou 2011 — the PQ half of FAISS IVF-PQ):
+  // 64-dim embeddings split into 8×8-dim subvectors, each assigned the
+  // max-inner-product entry of a deterministic synthetic codebook
+  // (training via Ann.kmeansCentroids per subspace is the tested path;
+  // the synthetic book keeps the oracle tractable, the q_quality_
+  // classifier pattern), then ADC top-5 per query by summed per-
+  // subspace lookups. Fold orders are pinned ascending on both sides,
+  // so codes are bit-exact and scores agree at round(…,4).
+  // ---------------------------------------------------------------
+  val PqM = 8; val PqK = 16; val PqSub = 8
+  def pqCodebook: Array[Array[Array[Double]]] =
+    Array.tabulate(PqM, PqK, PqSub)((mi, j, d) =>
+      ((mi * 131 + j * 17 + d * 7) % 19) / 19.0 - 0.5)
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    graft.sim.Ann.pqTopK(emb, emb.filter(col("vec_id") % 40 === 0), k = 5,
+        pqCodebook)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+  val qAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ips AS (
+       |  SELECT vec_id, mi.i AS mi,
+       |    list_transform(range($PqK), j ->
+       |      list_reduce(list_transform(range($PqSub), d ->
+       |        v[CAST(mi.i * $PqSub + d AS INT) + 1] *
+       |        (((mi.i * 131 + j * 17 + d * 7) % 19) / 19.0 - 0.5)),
+       |      (a, x) -> a + x)) AS ip
+       |  FROM e CROSS JOIN range($PqM) mi(i)),
+       |codes AS (
+       |  SELECT vec_id, mi,
+       |    CAST(list_position(ip, list_max(ip)) - 1 AS INT) AS code
+       |  FROM ips),
+       |codesarr AS (SELECT vec_id, list(code ORDER BY mi) AS codes
+       |             FROM codes GROUP BY vec_id),
+       |qarr AS (SELECT vec_id AS query_id, list(ip ORDER BY mi) AS qts
+       |         FROM ips WHERE vec_id % 40 = 0 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range($PqM),
+       |      m -> q.qts[CAST(m AS INT) + 1][c.codes[CAST(m AS INT) + 1] + 1])),
+       |    (a, x) -> a + x) AS score
+       |  FROM codesarr c CROSS JOIN qarr q WHERE c.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM adc)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
   // Cross-document LINE dedup (RefinedWeb/FineWeb): every doc gets the
   // same planted footer lines (the nav/copyright boilerplate shape) on
   // top of its sentence-split body; lines whose trimmed form appears in

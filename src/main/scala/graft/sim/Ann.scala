@@ -486,6 +486,87 @@ object Ann {
     cents
   }
 
+  /** Product-quantization CODES (Jégou et al. 2011, the PQ half of a
+    * FAISS-style IVF-PQ index; [[ivfTopKTrained]] is the IVF half): the
+    * vector splits into `m` subvectors of `subDim` dims, each assigned
+    * the codebook entry with the max INNER PRODUCT (ties → lower code —
+    * IP, not L2, because this stack's metric is cosine/IP and IP
+    * decomposes exactly across subspaces, which is what makes ADC exact
+    * for the quantized vector). Returns `array<int>` of `m` codes.
+    *
+    * Pure column lattice (the codebook unrolls into the projection —
+    * fine at the shipped 8×16×8; a FAISS-typical 64×256 book would want
+    * the [[NearestCells]] treatment instead: one fused codegen
+    * expression holding the book as a reference object, same
+    * plan-state-bounded-by-model scaling, smaller expression tree):
+    * assignment is zero-shuffle at any corpus size. Per-subspace IPs
+    * fold in ascending dimension order, so an oracle replaying the same
+    * fold is bit-exact.
+    */
+  def pqCodes(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val m = codebook.length
+    val v = vec.cast("array<double>")
+    val codes = (0 until m).map { mi =>
+      val sub = codebook(mi)
+      val ips = array(sub.indices.map { j =>
+        val c = sub(j)
+        c.indices.map(d => element_at(v, mi * c.length + d + 1) * c(d))
+          .reduce(_ + _)
+      }: _*)
+      (array_position(ips, array_max(ips)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Per-query ADC lookup table: `array<array<double>>` of m×k inner
+    * products between the query's subvectors and every codebook entry.
+    * Combined with [[pqCodes]], the asymmetric distance is a pure array
+    * lookup: `score(q, x) = Σ_m table[m][code_m(x)]`.
+    */
+  def pqQueryTable(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
+    val v = vec.cast("array<double>")
+    array(codebook.indices.map { mi =>
+      val sub = codebook(mi)
+      array(sub.indices.map { j =>
+        val c = sub(j)
+        c.indices.map(d => element_at(v, mi * c.length + d + 1) * c(d))
+          .reduce(_ + _)
+      }: _*)
+    }: _*)
+  }
+
+  /** ADC score from a query table and a code array (both columns). */
+  def pqAdcScore(table: Column, codes: Column): Column =
+    aggregate(sequence(lit(0), size(codes) - 1), lit(0.0),
+      (acc, mi) => acc
+        + element_at(element_at(table, mi + 1), element_at(codes, mi + 1) + 1))
+
+  /** PQ top-k search: codes for the corpus (one zero-shuffle pass), an
+    * ADC table per query, scores via array lookups on the joined pair.
+    * The query side is corpus-independent (a bounded query batch), so
+    * the join broadcasts it — the legitimate broadcast class. Output
+    * `(query_id, rank, neighbor_id, score)`, self-matches excluded,
+    * ties → lower neighbor id, exactly [[bruteForceTopK]]'s contract.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), codebook).as("_codes"))
+    val qt = queries.select(col(idCol).as("query_id"),
+      pqQueryTable(col(vecCol), codebook).as("_qt"))
+    val scored = coded.join(broadcast(qt),
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcScore(col("_qt"), col("_codes")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
   /** `nprobe` nearest k-means cells (cent ids = 0..k-1) for a vector. */
   def kmeansCells(vec: Column, cents: Array[Array[Long]], nprobe: Int): Column =
     EU.column(NearestCells(EU.expression(vec.cast("array<double>")),

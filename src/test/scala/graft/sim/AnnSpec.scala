@@ -317,6 +317,44 @@ class AnnSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop"), "no nested-loop join")
   }
 
+  test("PQ: codes equal a local argmax replay; ADC equals the quantized inner product") {
+    import spark.implicits._
+    val m = 4; val k = 8; val sub = 4 // dim 16
+    val cb = Array.tabulate(m, k, sub)((mi, j, d) =>
+      ((mi * 131 + j * 17 + d * 7) % 19) / 19.0 - 0.5)
+    def localVec(id: Int): Array[Double] =
+      Array.tabulate(m * sub)(d => ((id * 104729 + d * 31) % 997) / 997.0 - 0.5)
+    val df = (0 until 40).map(i => (i.toLong, localVec(i).toSeq)).toDF("vec_id", "embedding")
+    // codes vs local argmax (ties → lower code)
+    val got = df.select(col("vec_id"), Ann.pqCodes(col("embedding"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def localCodes(v: Array[Double]): Seq[Int] =
+      (0 until m).map { mi =>
+        val ips = (0 until k).map(j =>
+          (0 until sub).map(d => v(mi * sub + d) * cb(mi)(j)(d)).sum)
+        ips.indexOf(ips.max)
+      }
+    for (i <- 0 until 40)
+      assert(got(i.toLong) == localCodes(localVec(i)), s"codes for vec $i")
+    // ADC score of (q, x) IS the exact inner product of q with x's
+    // QUANTIZED reconstruction — the PQ contract
+    val top = Ann.pqTopK(df, df.filter(col("vec_id") === 0), k = 3, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.length == 3 && top.forall(_._1 == 0L))
+    val q = localVec(0)
+    def adc(x: Int): Double = {
+      val codes = localCodes(localVec(x))
+      (0 until m).map(mi =>
+        (0 until sub).map(d => q(mi * sub + d) * cb(mi)(codes(mi))(d)).sum).sum
+    }
+    val expect = (1 until 40).map(x => (x.toLong, adc(x)))
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(top.map(t => (t._3, t._4)).toSeq.map(_._1) == expect.map(_._1),
+      s"ADC ranking: got ${top.toSeq} want $expect")
+    top.zip(expect).foreach { case ((_, _, _, s), (_, e)) =>
+      assert(math.abs(s - e) < 1e-12) }
+  }
+
   test("batched maximin init picks the same seed set as the sequential procedure") {
     // same planted-cluster fixture as the trained-quantizer test: 8
     // well-separated clusters, so maximin must take exactly one seed per
