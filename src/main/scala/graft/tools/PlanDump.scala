@@ -87,6 +87,11 @@ object PlanDump {
     // one Window over the whole corpus
     dump("q_quality_classifier", graft.queries.QueriesR6.qQualityClassifier(s, dir))
     dump("q_pack_sequences", graft.queries.QueriesR6.qPackSequences(s, dir))
+    // line dedup must be count-group (8-byte-led key) + UNHINTED anti
+    // join + doc-bounded reassembly; PQ must be a pure code lattice on
+    // the corpus side with ONLY the query table broadcast
+    dump("q_line_dedup", graft.queries.QueriesR6.qLineDedup(s, dir))
+    dump("q_ann_pq", graft.queries.QueriesR6.qAnnPq(s, dir))
     s.stop()
   }
 }
