@@ -47,6 +47,12 @@ final class MmdbReader(data: Array[Byte]) {
   private val nodeBytes = recordSizeBits * 2 / 8
   private val searchTreeSize = nodeCount * nodeBytes
   private val dataSectionStart = searchTreeSize + 16
+  // construction-time structural sanity: a truncated or corrupt file
+  // fails HERE with the actual contract, not as an index error deep in
+  // a per-row lookup
+  require(searchTreeSize >= 0 && dataSectionStart <= metadataStart,
+    s"corrupt MaxMind-DB: search tree ($searchTreeSize B) + 16 B separator " +
+      s"exceeds the pre-metadata region ($metadataStart B of ${data.length} B)")
 
   // ---- search tree --------------------------------------------------
   private def u8(i: Int): Int = data(i) & 0xff
@@ -95,7 +101,16 @@ final class MmdbReader(data: Array[Byte]) {
     }
     if (node == nodeCount) None // the no-data sentinel
     else if (node < nodeCount) None // ran out of bits mid-tree (malformed)
-    else Some(decodeAt(node - nodeCount + searchTreeSize))
+    else
+      try Some(decodeAt(node - nodeCount + searchTreeSize))
+      catch {
+        case e: IndexOutOfBoundsException =>
+          // truncated data section: fail with the contract, not a bare
+          // index error from inside a per-row expression
+          throw new IllegalArgumentException(
+            s"corrupt MaxMind-DB: data record at tree value $node reads past " +
+              s"the file (${data.length} B)", e)
+      }
   }
 
   def lookup(ip: String): Option[Any] =

@@ -265,6 +265,33 @@ class MmdbSpec extends SparkTestBase {
     assert(r.getString(0) == "Tokyo" && r.getString(1) == "Asia/Tokyo")
   }
 
+  test("corrupt files fail loudly with the contract, not a bare index error") {
+    // no metadata marker at all
+    val e1 = intercept[IllegalArgumentException](
+      new MmdbReader(Array.fill[Byte](64)(0x11)))
+    assert(e1.getMessage.contains("metadata marker"))
+    // the metadata tail (marker + metadata map), located exactly
+    val marker = Array(0xAB.toByte, 0xCD.toByte, 0xEF.toByte) ++
+      "MaxMind.com".getBytes("US-ASCII")
+    val markerIdx = (0 to image.length - marker.length).reverse.find(i =>
+      marker.indices.forall(j => image(i + j) == marker(j))).get
+    val metaTail = image.drop(markerIdx)
+    // declared tree exceeds the pre-metadata region: 8 bytes of tree +
+    // the intact metadata (node_count unchanged) → construction refuses
+    val e2 = intercept[IllegalArgumentException](
+      new MmdbReader(java.util.Arrays.copyOfRange(image, 0, 8) ++ metaTail))
+    assert(e2.getMessage.contains("corrupt MaxMind-DB"))
+    // a tree record pointing far past the file (the truncated-data
+    // shape): the lookup must fail with the contract message, not a
+    // bare index error from inside a per-row expression
+    val patched = image.clone()
+    patched(0) = 0x7f.toByte; patched(1) = 0xff.toByte; patched(2) = 0xff.toByte
+    val rd = new MmdbReader(patched)
+    // 81.x.x.x starts with bit 0 → walks node 0's (patched) left record
+    val thrown = intercept[IllegalArgumentException](rd.lookup("81.2.69.1"))
+    assert(thrown.getMessage.contains("corrupt MaxMind-DB"))
+  }
+
   test("IPv6 literal parse path (colon form) is accepted by the validity check") {
     assert(MmdbCityLookup.parsesAsIp("2001:db8::1"))
     assert(MmdbCityLookup.parsesAsIp("::ffff:81.2.69.1"))
