@@ -247,6 +247,87 @@ object QueriesR6 {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
+  // The COMPOSED FAISS-style index — IVF-PQ end to end: k-means-trained
+  // coarse cells route each query to its nprobe=2 nearest cells, PQ/ADC
+  // ranks only the candidates inside those cells. The oracle chains the
+  // shared k-means training CTEs (QueriesR4.kmeansCteChain — identical
+  // arithmetic to q_kmeans/q_ann_ivf_trained) with the PQ code/ADC SQL
+  // of q_ann_pq, so the whole index — training, routing, quantization,
+  // search — replays in one statement.
+  // ---------------------------------------------------------------
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val cents = graft.sim.Ann.kmeansCentroids(emb,
+      k = QueriesR4.KmeansK, iters = QueriesR4.KmeansIters, dim = 64)
+    val corpus = graft.sim.Ann.kmeansAssign(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("cluster"),
+        graft.sim.Ann.pqCodes(col("embedding"), pqCodebook).as("_codes"))
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("query_id"),
+        graft.sim.Ann.pqQueryTable(col("embedding"), pqCodebook).as("_qt"),
+        explode(graft.sim.Ann.kmeansCells(col("embedding"), cents, 2))
+          .as("_cell"))
+      .select(col("query_id"), col("_qt"), col("_cell").cast("int").as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.sim.Ann.pqAdcScore(col("_qt"), col("_codes")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+  val qAnnIvfPqSql: String = {
+    import QueriesR4.{cos, kmeansCteChain}
+    s"""WITH $kmeansCteChain,
+       |asg AS (SELECT vec_id, cent FROM (
+       |   SELECT e.vec_id, c.cent,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |       ${cos("e.v", "list_transform(c.cs, x -> x::DOUBLE)")} DESC,
+       |       c.cent) AS rk
+       |   FROM e CROSS JOIN c2 c) WHERE rk = 1),
+       |probe AS (SELECT vec_id AS query_id, cent FROM (
+       |   SELECT e.vec_id, c.cent,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |       ${cos("e.v", "list_transform(c.cs, x -> x::DOUBLE)")} DESC,
+       |       c.cent) AS rk
+       |   FROM e CROSS JOIN c2 c WHERE e.vec_id % 40 = 0) WHERE rk <= 2),
+       |ips AS (
+       |  SELECT vec_id, mi.i AS mi,
+       |    list_transform(range($PqK), j ->
+       |      list_reduce(list_transform(range($PqSub), d ->
+       |        v[CAST(mi.i * $PqSub + d AS INT) + 1] *
+       |        (((mi.i * 131 + j * 17 + d * 7) % 19) / 19.0 - 0.5)),
+       |      (a, x) -> a + x)) AS ip
+       |  FROM e CROSS JOIN range($PqM) mi(i)),
+       |codes AS (
+       |  SELECT vec_id, mi,
+       |    CAST(list_position(ip, list_max(ip)) - 1 AS INT) AS code
+       |  FROM ips),
+       |codesarr AS (SELECT vec_id, list(code ORDER BY mi) AS codes
+       |             FROM codes GROUP BY vec_id),
+       |qarr AS (SELECT vec_id AS query_id, list(ip ORDER BY mi) AS qts
+       |         FROM ips WHERE vec_id % 40 = 0 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range($PqM),
+       |      m -> q.qts[CAST(m AS INT) + 1][c.codes[CAST(m AS INT) + 1] + 1])),
+       |    (a, x) -> a + x) AS score
+       |  FROM codesarr c
+       |  JOIN asg ca ON ca.vec_id = c.vec_id
+       |  JOIN probe p ON p.cent = ca.cent
+       |  JOIN qarr q ON q.query_id = p.query_id
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM adc)
+       |SELECT query_id, rank, neighbor_id, round(score, 4) AS score
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Cross-document LINE dedup (RefinedWeb/FineWeb): every doc gets the
   // same planted footer lines (the nav/copyright boilerplate shape) on
   // top of its sentence-split body; lines whose trimmed form appears in
