@@ -61,8 +61,19 @@ object RunPipeline {
 
     val t0 = System.nanoTime()
 
+    // optional config-driven parse stages: GRAFT_PIPELINE_CONFIG points
+    // at a pipeline config file in either dialect — the reference's
+    // native YAML (testing/log-carver.yaml shape) or our JSON; without
+    // it the built-in transcript stage list applies
+    val parseStages = sys.env.get("GRAFT_PIPELINE_CONFIG") match {
+      case Some(path) =>
+        val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        graft.pipeline.PipelineConfig.fromText(text, path)
+      case None => TranscriptPipeline.stages
+    }
+
     val turns = spark.read.parquet(inputDir)
-    val assigned = TranscriptPipeline.run(spark, turns)
+    val assigned = TranscriptPipeline.run(spark, turns, parseStages)
     val committed = Lineage.run(Router.stripMeta(assigned), outputRoot, nBuckets, batchId)
 
     val routed = Lineage.readData(spark, outputRoot)

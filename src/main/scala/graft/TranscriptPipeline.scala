@@ -60,8 +60,16 @@ object TranscriptPipeline {
   val DefaultSink = "sink_main"
 
   /** Full pipeline: returns the parsed+enriched+sink-assigned frame. */
-  def run(spark: SparkSession, turns: DataFrame): DataFrame = {
-    val parsed = Pipeline(turns, stages)
+  def run(spark: SparkSession, turns: DataFrame): DataFrame =
+    run(spark, turns, stages)
+
+  /** Full pipeline with a caller-supplied parse stage list (the
+    * config-driven production face — [[RunPipeline]] loads it from a
+    * YAML/JSON file); enrich + route stay the engine's own.
+    */
+  def run(spark: SparkSession, turns: DataFrame,
+      parseStages: Seq[Stage]): DataFrame = {
+    val parsed = Pipeline(turns, parseStages)
     val enriched = Enrich.withLookup(
       Enrich.withLookup(parsed, Enrich.roleLookup(spark), Seq("role")),
       Enrich.toolLookup(spark), Seq("tool"))
