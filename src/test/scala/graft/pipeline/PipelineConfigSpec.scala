@@ -126,6 +126,61 @@ class PipelineConfigSpec extends SparkTestBase {
     assert(rows(2)._1 == "plain" && rows(2)._4 == "carver")
   }
 
+  test("a YAML config mirroring the built-in stages drives the FULL pipeline identically") {
+    // the production contract (RunPipeline GRAFT_PIPELINE_CONFIG): a
+    // config file encoding the same stages as TranscriptPipeline.stages
+    // must parse, enrich and route every turn identically
+    val yaml =
+      s"""- if: >-
+         |    event.text.matches("^\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3}\\\\.\\\\d{1,3} ")
+         |  then:
+         |  - name: grok
+         |    field: text
+         |    patterns:
+         |    - ${graft.grok.Grok.NginxAccess}
+         |  - name: date
+         |    field: timestamp
+         |    formats:
+         |    - 02/Jan/2006:15:04:05 -0700
+         |  - name: add_tag
+         |    tag: nginx
+         |- else if: >-
+         |    event.text.matches("^[a-z]+=")
+         |  then:
+         |  - name: kv
+         |    field: text
+         |  - name: add_tag
+         |    tag: kv
+         |- else if: >-
+         |    event.text.startsWith("{")
+         |  then:
+         |  - name: json
+         |    field: text
+         |  - name: add_tag
+         |    tag: json
+         |- else:
+         |  - name: add_tag
+         |    tag: plain
+         |""".stripMargin
+    val turns = graft.model.TranscriptGen.generate(spark, seed = 7L,
+      nConvs = 120L, parallelism = 4).toDF()
+    val builtIn = graft.TranscriptPipeline.run(spark, turns)
+    val configured = graft.TranscriptPipeline.run(spark, turns,
+      PipelineConfig.fromYaml(yaml))
+    // set ops reject MAP columns — canonicalize the fields map to sorted
+    // entry structs (order-insensitive, value-exact)
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.toSeq.map {
+        case "fields" => sort_array(map_entries(col("fields"))).as("fields")
+        case c => col(c)
+      }
+      df.select(cols: _*)
+    }
+    assert(canon(builtIn).exceptAll(canon(configured)).isEmpty
+      && canon(configured).exceptAll(canon(builtIn)).isEmpty,
+      "config-driven pipeline must be row-identical to the coded stages")
+  }
+
   test("fromText dispatches by extension, then by content sniff") {
     val json = """[{"add_tag": {"tag": "j"}}]"""
     val yaml = "- name: add_tag\n  tag: y\n"
