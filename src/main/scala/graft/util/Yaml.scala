@@ -81,30 +81,45 @@ object Yaml {
       else parseMap(nodeIndent)
     }
 
+    private def isDash(content: String): Boolean =
+      content == "-" || content.startsWith("- ")
+
     private def parseSeq(indent: Int): java.util.ArrayList[Any] = {
       val out = new java.util.ArrayList[Any]()
-      while (!atEnd && cur.indent == indent &&
-          (cur.content == "-" || cur.content.startsWith("- "))) {
-        val l = cur
-        val itemIndent = indent + 2 // "- " consumes two columns
-        if (l.content == "-") {
-          pos += 1
-          if (!atEnd && cur.indent > indent) out.add(parseNode(indent + 1, cur.indent))
-          else out.add(null)
-        } else {
-          val rest = l.content.substring(2)
-          out.add(parseInlineItem(rest, itemIndent, l.number))
-        }
-      }
+      while (!atEnd && cur.indent == indent && isDash(cur.content))
+        out.add(parseSeqItem(indent))
       out
     }
 
-    /** A sequence item whose content begins on the dash line: either a
-      * scalar, or the first `key: value` of a compact mapping whose
-      * continuation lines sit at the dash column + 2.
+    /** One sequence item, cursor ON its dash line. */
+    private def parseSeqItem(indent: Int): Any = {
+      val l = cur
+      if (l.content == "-") {
+        pos += 1
+        if (!atEnd && cur.indent > indent) parseNode(indent + 1, cur.indent)
+        else null
+      } else parseInlineItem(l.content.substring(2), indent + 2, l.number)
+    }
+
+    /** A sequence item whose content begins on the dash line: a nested
+      * sequence (`- - x` compact form), the first `key: value` of a
+      * compact mapping (continuation keys at the dash column + 2), or a
+      * scalar/block-scalar.
       */
     private def parseInlineItem(first: String, itemIndent: Int, lineNo: Int): Any =
-      splitKey(first) match {
+      if (isDash(first)) {
+        // nested sequence starting on the same line: first item from the
+        // remainder, subsequent items at the inner dash column
+        val out = new java.util.ArrayList[Any]()
+        if (first == "-") {
+          pos += 1
+          if (!atEnd && cur.indent > itemIndent) out.add(parseNode(itemIndent + 1, cur.indent))
+          else out.add(null)
+        } else out.add(parseInlineItem(first.substring(2), itemIndent + 2, lineNo))
+        while (!atEnd && cur.indent == itemIndent && isDash(cur.content))
+          out.add(parseSeqItem(itemIndent))
+        out
+      } else splitKey(first) match {
         case Some((k, rest)) =>
           // compact mapping: the dash line carries the first entry and
           // continuation keys sit at the dash column + 2

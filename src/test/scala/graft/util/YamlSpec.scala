@@ -124,6 +124,46 @@ class YamlSpec extends AnyFunSuite {
     assert(dev.get("regex_flag") == "i" && dev.get("device_replacement") == "$1 $2")
   }
 
+  test("edge shapes: nested sequences, null values, deeper-indent blocks, literal keep-chomp") {
+    val doc = asMap(Yaml.parse(
+      """matrix:
+        |- - 1
+        |  - 2
+        |- - 3
+        |empty:
+        |deep:
+        |    a:
+        |        b: v
+        |keepnl: |+
+        |  body
+        |after: done
+        |""".stripMargin))
+    val matrix = asList(doc.get("matrix"))
+    assert(asList(matrix.get(0)).get(1) == java.lang.Long.valueOf(2))
+    assert(asList(matrix.get(1)).get(0) == java.lang.Long.valueOf(3))
+    assert(doc.containsKey("empty") && doc.get("empty") == null)
+    assert(asMap(asMap(doc.get("deep")).get("a")).get("b") == "v")
+    assert(doc.get("keepnl") == "body\n")
+    assert(doc.get("after") == "done")
+  }
+
+  test("quoted keys, colons in plain scalars, block scalar stopping at a dedent") {
+    val doc = asMap(Yaml.parse(
+      """"quoted: key": v1
+        |'single:key': v2
+        |url: http://example.com:8080/path
+        |scalar: >-
+        |  first
+        |  second
+        |next: 1
+        |""".stripMargin))
+    assert(doc.get("quoted: key") == "v1")
+    assert(doc.get("single:key") == "v2")
+    assert(doc.get("url") == "http://example.com:8080/path")
+    assert(doc.get("scalar") == "first second")
+    assert(doc.get("next") == java.lang.Long.valueOf(1))
+  }
+
   test("unsupported YAML features fail loudly, not silently misparse") {
     intercept[IllegalArgumentException](Yaml.parse("a: &anchor v"))
     intercept[IllegalArgumentException](Yaml.parse("a: *alias"))
