@@ -84,6 +84,12 @@ object DataScaleProbe {
         graft.queries.QueriesR5.qBloomDedup(s, d)),
       "q_dedup_clusters" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesML.qDedupClusters(s, d)),
+      // r6 text-surgery operators: both must stay near-linear (window
+      // group + id-keyed rebuild; line count + anti join)
+      "q_span_removal" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR6.qSpanRemoval(s, d)),
+      "q_line_dedup" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR6.qLineDedup(s, d)),
       // fixed k: cluster sizes grow ∝ n → within-cluster pairs O(Σm²)
       // goes superlinear BY DESIGN (cluster size is the documented skew
       // knob, Ann.semDedup scaladoc) — measured here to make the knob's
