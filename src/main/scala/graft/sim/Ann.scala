@@ -494,52 +494,38 @@ object Ann {
     * decomposes exactly across subspaces, which is what makes ADC exact
     * for the quantized vector). Returns `array<int>` of `m` codes.
     *
-    * Pure column lattice (the codebook unrolls into the projection —
-    * fine at the shipped 8×16×8; a FAISS-typical 64×256 book would want
-    * the [[NearestCells]] treatment instead: one fused codegen
-    * expression holding the book as a reference object, same
-    * plan-state-bounded-by-model scaling, smaller expression tree):
-    * assignment is zero-shuffle at any corpus size. Per-subspace IPs
-    * fold in ascending dimension order, so an oracle replaying the same
-    * fold is bit-exact.
+    * ONE fused codegen expression holding the codebook as a reference
+    * object ([[PqCodes]], the [[NearestCells]] pattern): zero-shuffle at
+    * any corpus size, and the generated Java is a constant-size method
+    * call regardless of codebook dimensions. The earlier column-lattice
+    * spelling unrolled the m×k×subDim book into the projection and blew
+    * Janino's 64 KB method cap at the shipped 8×16×8 — whole-stage
+    * codegen silently fell back to interpreted rows over a multi-MiB
+    * task binary. Per-subspace IPs fold in ascending dimension order
+    * with a strict-> first-max, so an oracle replaying
+    * `list_position(ip, list_max(ip))` is bit-exact.
     */
-  def pqCodes(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
-    val m = codebook.length
-    val v = vec.cast("array<double>")
-    val codes = (0 until m).map { mi =>
-      val sub = codebook(mi)
-      val ips = array(sub.indices.map { j =>
-        val c = sub(j)
-        c.indices.map(d => element_at(v, mi * c.length + d + 1) * c(d))
-          .reduce(_ + _)
-      }: _*)
-      (array_position(ips, array_max(ips)) - 1).cast("int")
-    }
-    array(codes: _*)
-  }
+  def pqCodes(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    EU.column(PqCodes(EU.expression(vec.cast("array<double>")), codebook))
 
   /** Per-query ADC lookup table: `array<array<double>>` of m×k inner
-    * products between the query's subvectors and every codebook entry.
-    * Combined with [[pqCodes]], the asymmetric distance is a pure array
-    * lookup: `score(q, x) = Σ_m table[m][code_m(x)]`.
+    * products between the query's subvectors and every codebook entry
+    * (fused [[PqQueryTable]] expression — same reference-object codegen
+    * shape as [[pqCodes]]). Combined with [[pqCodes]], the asymmetric
+    * distance is a pure array lookup: `score(q, x) = Σ_m table[m][code_m(x)]`.
     */
-  def pqQueryTable(vec: Column, codebook: Array[Array[Array[Double]]]): Column = {
-    val v = vec.cast("array<double>")
-    array(codebook.indices.map { mi =>
-      val sub = codebook(mi)
-      array(sub.indices.map { j =>
-        val c = sub(j)
-        c.indices.map(d => element_at(v, mi * c.length + d + 1) * c(d))
-          .reduce(_ + _)
-      }: _*)
-    }: _*)
-  }
+  def pqQueryTable(vec: Column, codebook: Array[Array[Array[Double]]]): Column =
+    EU.column(PqQueryTable(EU.expression(vec.cast("array<double>")), codebook))
 
-  /** ADC score from a query table and a code array (both columns). */
+  /** ADC score from a query table and a code array (both columns) — a
+    * fused binary expression ([[PqAdcScore]]): the higher-order
+    * `aggregate(sequence(...))` spelling it replaces never participates
+    * in whole-stage codegen (HOFs are interpreted) and sat on the
+    * corpus×queries joined hot path. Sums ascending in `mi`, matching
+    * the oracle's `list_reduce` left fold.
+    */
   def pqAdcScore(table: Column, codes: Column): Column =
-    aggregate(sequence(lit(0), size(codes) - 1), lit(0.0),
-      (acc, mi) => acc
-        + element_at(element_at(table, mi + 1), element_at(codes, mi + 1) + 1))
+    EU.column(PqAdcScore(EU.expression(table), EU.expression(codes)))
 
   /** PQ top-k search: codes for the corpus (one zero-shuffle pass), an
     * ADC table per query, scores via array lookups on the joined pair.
@@ -692,4 +678,147 @@ case class NearestCells(child: Expression, centIds: Array[Long],
 
   override protected def withNewChildInternal(c: Expression): NearestCells =
     copy(child = c)
+}
+
+/** PQ code assignment as one fused per-row expression with the codebook
+  * baked in at plan build (reference-object codegen — the [[NearestCells]]
+  * pattern): the generated Java is a single method call of constant size,
+  * so codebook dimensions can never push a projection past Janino's 64 KB
+  * method cap (the column-lattice spelling this replaces did exactly that
+  * at 8×16×8 and silently fell back to interpreted execution). Arithmetic
+  * contract, pinned for the SQL oracle: per-subspace inner products fold
+  * in ascending dimension order; argmax is first-max (strict >, so ties
+  * keep the lower code) — identical to `list_position(ip, list_max(ip))`.
+  * A vector shorter than m×subDim contributes 0 for the missing dims
+  * (bounded, instead of an out-of-bounds task death on a corrupt row).
+  */
+case class PqCodes(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_codes"
+  override val dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  def compute(v: Any): ArrayData = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val sub = codebook(mi)
+      val subDim = if (sub.length > 0) sub(0).length else 0
+      val base = mi * subDim
+      var best = Double.NegativeInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < sub.length) {
+        val c = sub(j)
+        val n = math.min(c.length, math.max(arr.numElements() - base, 0))
+        var ip = 0.0
+        var d = 0
+        while (d < n) { ip += arr.getDouble(base + d) * c(d); d += 1 }
+        if (ip > best) { best = ip; bestJ = j }
+        j += 1
+      }
+      out(mi) = bestJ
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqCodes =
+    copy(child = c)
+}
+
+/** Per-query ADC lookup table (m×k inner products vs every codebook
+  * entry) as one fused expression — same reference-object codegen shape
+  * and the same ascending-dimension fold as [[PqCodes]], so
+  * `table[mi][code]` equals the code-side IP bit-for-bit.
+  */
+case class PqQueryTable(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_query_table"
+  override val dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  def compute(v: Any): ArrayData = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val rows = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val sub = codebook(mi)
+      val subDim = if (sub.length > 0) sub(0).length else 0
+      val base = mi * subDim
+      val ips = new Array[Double](sub.length)
+      var j = 0
+      while (j < sub.length) {
+        val c = sub(j)
+        val n = math.min(c.length, math.max(arr.numElements() - base, 0))
+        var ip = 0.0
+        var d = 0
+        while (d < n) { ip += arr.getDouble(base + d) * c(d); d += 1 }
+        ips(j) = ip
+        j += 1
+      }
+      rows(mi) = UnsafeArrayData.fromPrimitiveArray(ips)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqQueryTable", this, classOf[PqQueryTable].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqQueryTable =
+    copy(child = c)
+}
+
+/** ADC score `Σ_m table[m][codes[m]]` as one fused binary expression on
+  * the joined corpus×queries hot path. The `aggregate(sequence(...))`
+  * higher-order spelling it replaces is interpreted (HOFs never enter
+  * whole-stage codegen) and allocated a lambda frame per subspace per
+  * pair; this is a flat loop summing ascending in `mi` — the oracle's
+  * `list_reduce` left fold.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc_score"
+  override val dataType: DataType = DoubleType
+
+  override def nullSafeEval(t: Any, c: Any): Any =
+    java.lang.Double.valueOf(compute(t, c))
+
+  def compute(t: Any, c: Any): Double = {
+    val table = t.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), table.numElements())
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      acc += table.getArray(mi).getDouble(codes.getInt(mi))
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcScore", this, classOf[PqAdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (t, c) => s"${ev.value} = $ref.compute($t, $c);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
 }

@@ -355,6 +355,29 @@ class AnnSpec extends SparkTestBase {
       assert(math.abs(s - e) < 1e-12) }
   }
 
+  test("PQ driver queries execute with codegen fallback DISABLED (Janino failure = red test)") {
+    // Round-6 lesson: the plan's `*(codegen)` asterisks can lie — the
+    // unrolled-codebook PQ lattice PLANNED as whole-stage codegen but the
+    // generated method blew Janino's 64 KB cap and Spark silently ran it
+    // interpreted. fallback=false + CODEGEN_ONLY turn that silent
+    // downgrade into a thrown exception, so a future codegen-size
+    // regression fails here instead of shipping a 5-11 s interpreted query.
+    val conf = spark.conf
+    val oldFallback = conf.get("spark.sql.codegen.fallback", "true")
+    val oldFactory = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val pq = graft.queries.QueriesR6.qAnnPq(spark, dir)
+      assert(pq.count() > 0, "q_ann_pq under codegen-only")
+      val ivfPq = graft.queries.QueriesR6.qAnnIvfPq(spark, dir)
+      assert(ivfPq.count() > 0, "q_ann_ivf_pq under codegen-only")
+    } finally {
+      conf.set("spark.sql.codegen.fallback", oldFallback)
+      conf.set("spark.sql.codegen.factoryMode", oldFactory)
+    }
+  }
+
   test("batched maximin init picks the same seed set as the sequential procedure") {
     // same planted-cluster fixture as the trained-quantizer test: 8
     // well-separated clusters, so maximin must take exactly one seed per

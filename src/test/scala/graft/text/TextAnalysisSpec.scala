@@ -385,6 +385,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty.getLong(0) == 0L && empty.getDouble(1) == 0.0)
   }
 
+  test("trigramCounts aggregate equals the explode-and-groupBy spelling on real docs") {
+    // the one-pass bounded aggregate must count EXACTLY what the old
+    // materialize-array-then-explode spelling counted — same model, only
+    // the constant factor changed
+    import org.apache.spark.sql.functions.{transform => sqlTransform, _}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = graft.text.CharTrigramLm.train(docs, "text")
+    val s = graft.text.CharTrigramLm.normalize(col("text"))
+    val tris = when(length(s) >= 3,
+        sqlTransform(sequence(lit(0), length(s) - 3), i => s.substr(i + 1, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val slow = docs.select(explode(tris).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fast == slow, {
+      val onlyFast = (fast.keySet -- slow.keySet).take(5)
+      val onlySlow = (slow.keySet -- fast.keySet).take(5)
+      val diff = fast.keySet.intersect(slow.keySet).filter(k => fast(k) != slow(k)).take(5)
+      s"model mismatch: fast-only=$onlyFast slow-only=$onlySlow diffcounts=$diff"
+    })
+    assert(fast.nonEmpty && fast.size <= 29 * 29 * 29)
+  }
+
   test("c4Clean handles CRLF pages (trailing \\r must not fail the punctuation rule)") {
     val page = Seq(
       "This is a perfectly fine sentence for the corpus.",
