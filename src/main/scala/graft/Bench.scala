@@ -23,6 +23,36 @@ import graft.route.Router
   */
 object Bench {
 
+  /** Whole-stage-codegen compile failures observed this JVM, counted via
+    * a log4j2 appender on Spark's `CodeGenerator` logger. Round-6 lesson:
+    * a plan can SHOW `*(codegen)` asterisks while the generated method
+    * blows Janino's 64 KB cap and runs interpreted — the only runtime
+    * trace is an ERROR log line. Counting it into the bench artifact
+    * (`codegen_failures`) makes the silent downgrade a driver-visible
+    * number; the expected value is 0.
+    */
+  private val codegenFailures = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def installCodegenFailureCounter(): Unit = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-failure-counter", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.ERROR) &&
+            e.getLoggerName != null && e.getLoggerName.endsWith("CodeGenerator"))
+          codegenFailures.incrementAndGet()
+    }
+    appender.start()
+    // root logger config: CodeGenerator has no dedicated config entry, so
+    // its events propagate here regardless of the session's log level —
+    // the appender's own ERROR threshold does the filtering
+    ctx.getConfiguration.getRootLogger.addAppender(appender, Level.ERROR, null)
+    ctx.updateLoggers()
+  }
+
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -86,6 +116,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    installCodegenFailureCounter()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
@@ -217,12 +248,21 @@ object Bench {
       f""""rows_consistent":$rowsConsistent,""" +
       f""""budget_sec":$deadlineSec%.0f,"elapsed_sec":$elapsedSec%.1f,""" +
       f""""budget_truncated":$truncated,"partial":$partial,""" +
+      f""""codegen_failures":${codegenFailures.get()},""" +
       f""""queries_total_sec":$totalQuerySec%.3f,"queries_skipped":$queriesSkipped,""" +
       f""""queries":$qs,"sf":"$sfDir"}"""
     }
-    def emitProgressive(): Unit =
-      try Files.writeString(Paths.get("BENCH_LAST.json"), buildJson(partial = true) + "\n")
-      catch { case _: Throwable => () }
+    // artifact writes must never abort a 20-minute measurement, but a
+    // failed write must be VISIBLE (stderr), not a silently lost round
+    // artifact — the stdout headline stays the parse-safe compact line
+    def writeArtifact(json: String): Unit =
+      try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] FAILED to write BENCH_LAST.json: $t")
+          System.err.println(s"[bench] lost artifact follows on stderr:\n$json")
+      }
+    def emitProgressive(): Unit = writeArtifact(buildJson(partial = true))
 
     // ---- measurement sequence, essential-first ----
     // Worst-case stub: if the harness kills us inside pair 1, the file
@@ -288,8 +328,7 @@ object Bench {
 
     val json = buildJson(partial = false)
     // Full artifact (per-query map, all scaling samples) goes to the file.
-    try Files.writeString(Paths.get("BENCH_LAST.json"), json + "\n")
-    catch { case _: Throwable => () }
+    writeArtifact(json)
     // stdout contract: the harness stores only the LAST 2000 chars of
     // stdout and parses a JSON line out of that tail, so the final stdout
     // line must be a COMPACT headline (<1 kB — the full ~3 kB line was
@@ -309,6 +348,7 @@ object Bench {
       f""""scaling_efficiency_min":${(thr8h / thr2h) / 4.0}%.3f,""" +
       f""""queries_run":${queryTimes.size - queriesSkipped},"queries_skipped":$queriesSkipped,""" +
       f""""queries_total_sec":$totalQuerySec%.1f,"queries_failed":${queryTimes.values.count(_ == -1.0)},""" +
+      f""""codegen_failures":${codegenFailures.get()},""" +
       f""""budget_truncated":$truncated,"elapsed_sec":$elapsedSec%.1f,""" +
       f""""full_artifact":"BENCH_LAST.json","sf":"$sfDir"}"""
     println(headline)

@@ -100,9 +100,12 @@ object PipelineConfig {
       require(e.isObject, s"pipeline entry must be a mapping: $e")
       if (e.has("if")) {
         val branches = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Stage])]
+        require(e.has("then"), s"'if' entry missing its 'then' action list: $e")
         branches += e.get("if").asText() -> fromReferenceAst(e.get("then"), grok)
         i += 1
         while (i < entries.length && entries(i).has("else if")) {
+          require(entries(i).has("then"),
+            s"'else if' entry missing its 'then' action list: ${entries(i)}")
           branches += entries(i).get("else if").asText() ->
             fromReferenceAst(entries(i).get("then"), grok)
           i += 1
@@ -142,11 +145,15 @@ object PipelineConfig {
     require(node.isObject, s"stage must be an object: $node")
     if (node.has("if")) {
       val branches = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Stage])]
+      require(node.has("then"), s"'if' stage missing its 'then' action list: $node")
       branches += node.get("if").asText() -> parseStages(node.get("then"), grok)
       if (node.has("else if")) {
         import scala.jdk.CollectionConverters._
-        for (b <- node.get("else if").elements().asScala)
+        for (b <- node.get("else if").elements().asScala) {
+          require(b.has("if") && b.has("then"),
+            s"'else if' branch needs 'if' and 'then': $b")
           branches += b.get("if").asText() -> parseStages(b.get("then"), grok)
+        }
       }
       val otherwise =
         if (node.has("else")) parseStages(node.get("else"), grok) else Seq.empty

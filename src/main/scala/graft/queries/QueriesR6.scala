@@ -169,10 +169,15 @@ object QueriesR6 {
        |                x -> len(x) > 0) AS words
        |  FROM documents),
        |wins AS (
-       |  SELECT doc_id, i AS start,
-       |    array_to_string(words[(i+1):(i+$SpanRemovalK)], ' ') AS wtext
-       |  FROM w CROSS JOIN range(256) t(i)
-       |  WHERE i + $SpanRemovalK <= len(words)),
+       |  -- per-doc window positions via unnest(range(...)) with a
+       |  -- DERIVED bound (list-range takes column args; the table
+       |  -- function does not) — a fixed cap here silently diverged from
+       |  -- the unbounded engine side on any document longer than it
+       |  SELECT doc_id, start,
+       |    array_to_string(words[(start+1):(start+$SpanRemovalK)], ' ') AS wtext
+       |  FROM (SELECT doc_id, words,
+       |          unnest(range(0, len(words) - $SpanRemovalK + 1)) AS start
+       |        FROM w)),
        |g AS (SELECT wtext FROM wins GROUP BY wtext
        |      HAVING count(*) >= 2 AND count(*) <= 1000),
        |occ AS (
@@ -357,10 +362,11 @@ object QueriesR6 {
        |    string_split(replace(raw, chr(13) || chr(10), chr(10)), chr(10)) AS lines
        |  FROM m),
        |l AS (
+       |  -- derived per-doc bound (see q_span_removal): no fixed line cap
        |  SELECT doc_id, CAST(i AS INT) AS idx,
        |    lines[CAST(i AS INT) + 1] AS line,
        |    trim(lines[CAST(i AS INT) + 1]) AS t
-       |  FROM l0 CROSS JOIN range(512) r(i) WHERE i < len(lines)),
+       |  FROM (SELECT doc_id, lines, unnest(range(0, len(lines))) AS i FROM l0)),
        |hot AS (
        |  SELECT t FROM l WHERE len(t) > 0
        |  GROUP BY t HAVING count(DISTINCT doc_id) >= $LineDedupMinDf),
@@ -489,9 +495,9 @@ object QueriesR6 {
        |      '[^a-zA-Z0-9 ]+', '_', 'g')), '[0-9]', '0', 'g') AS s
        |  FROM documents),
        |tg AS (
+       |  -- derived per-doc bound (see q_span_removal): no fixed trigram cap
        |  SELECT doc_id, substr(s, CAST(i + 1 AS INT), 3) AS tri
-       |  FROM n CROSS JOIN range(2048) t(i)
-       |  WHERE i + 3 <= len(s)),
+       |  FROM (SELECT doc_id, s, unnest(range(0, len(s) - 2)) AS i FROM n)),
        |model AS (
        |  SELECT tri, count(*) AS c3 FROM tg WHERE doc_id % 10 = 0 GROUP BY tri),
        |model2 AS (

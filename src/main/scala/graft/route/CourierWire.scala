@@ -5,14 +5,22 @@ import java.util.zip.{Deflater, DeflaterOutputStream, InflaterInputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** The Courier protocol's JDAT wire format
+/** The Courier protocol's TWO payload framings
   * (`lc-lib/transports/tcp/courier/protocoljdat.go:109-156`, limits
-  * `:47,75`; identity = (16-byte nonce, 1-based sequence) per
-  * `docs/Protocol.md:133-224`):
+  * `:47,75`; `protocolevnt.go:33-96,109-144`; identity = (16-byte
+  * nonce, 1-based sequence) per `docs/Protocol.md:133-224`):
   *
-  *   frame   = 'J' 'D' 'A' 'T' | uint32be bodyLen | body
+  *   JDAT    = 'J' 'D' 'A' 'T' | uint32be bodyLen | body
   *   body    = 16-byte nonce | zlib(level 3, events)
+  *   EVNT    = 'E' 'V' 'N' 'T' | uint32be 0xFFFFFFFF | 16-byte nonce
+  *             | zlib(level 3, events)        (streamed: no size prefix)
   *   events  = repeat( uint32be len | json bytes )
+  *
+  * EVNT is the enhanced sibling: the length field is pinned to the
+  * 0xFFFFFFFF stream sentinel (`protocolevnt.go:44-46,116`) and the
+  * body has NO declared length — a reader consumes the zlib stream to
+  * its end, so payloads are not bounded by a 10 MiB frame declaration
+  * (the per-EVENT 10 MiB cap still applies, `protocolevnt.go:73-75`).
   *
   * The socket transport itself is not rebuilt (table writes are the
   * engine's delivery per the north rule); this is the FORMAT — what a

@@ -172,15 +172,19 @@ object Yaml {
       */
     private def parseScalarOrBlock(text: String, minBody: Int, lineNo: Int): Any = {
       val t = text.trim
-      if (t.startsWith("|") || t.startsWith(">")) parseBlockScalar(t, lineNo)
+      if (t.startsWith("|") || t.startsWith(">")) parseBlockScalar(t, minBody, lineNo)
       else scalar(t, lineNo)
     }
 
-    /** Literal/folded block scalar: body = following raw lines more
-      * indented than the header line's owner (standard: more indented
-      * than the parent node). Indentation indicators are not supported.
+    /** Literal/folded block scalar: body = following raw lines indented
+      * at least `minBody` (strictly deeper than the owning key — a first
+      * non-blank line at or left of the key is NOT body, it is the next
+      * sibling/parent entry and the scalar is empty; without the bound an
+      * empty `key: >-` silently swallowed following keys into the
+      * scalar). Indentation indicators are not supported.
       */
-    private def parseBlockScalar(header: String, headerLineNo: Int): String = {
+    private def parseBlockScalar(header: String, minBody: Int,
+        headerLineNo: Int): String = {
       val folded = header.charAt(0) == '>'
       val chomp = if (header.length > 1) header.charAt(1) else ' '
       require(header.replaceAll("[|>+-]", "").trim.isEmpty,
@@ -197,7 +201,11 @@ object Yaml {
         val blank = raw.trim.isEmpty
         if (blank) { body += ""; rawIdx += 1 }
         else if (bodyIndent == -1) {
-          bodyIndent = ind; body += raw.substring(ind); lastNonBlank = body.length - 1; rawIdx += 1
+          if (ind < minBody) scanning = false // empty scalar: next entry, not body
+          else {
+            bodyIndent = ind; body += raw.substring(ind)
+            lastNonBlank = body.length - 1; rawIdx += 1
+          }
         } else if (ind >= bodyIndent) {
           body += raw.substring(bodyIndent); lastNonBlank = body.length - 1; rawIdx += 1
         } else scanning = false

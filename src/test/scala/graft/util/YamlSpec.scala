@@ -164,6 +164,34 @@ class YamlSpec extends AnyFunSuite {
     assert(doc.get("next") == java.lang.Long.valueOf(1))
   }
 
+  test("empty block scalar must not swallow the following sibling/parent keys") {
+    // `a: >-` with NO indented body: the next key at the same column is a
+    // sibling, not scalar content (the pre-fix parser took the first
+    // non-blank line as body regardless of indent and silently ate `b: 1`)
+    val doc = asMap(Yaml.parse(
+      """a: >-
+        |b: 1
+        |""".stripMargin))
+    assert(doc.get("a") == "")
+    assert(doc.get("b") == java.lang.Long.valueOf(1))
+    // same at a dedent back to the PARENT level
+    val doc2 = asMap(Yaml.parse(
+      """outer:
+        |  a: |
+        |sibling: 2
+        |""".stripMargin))
+    assert(asMap(doc2.get("outer")).get("a") == "")
+    assert(doc2.get("sibling") == java.lang.Long.valueOf(2))
+    // blank lines before the dedented next key are still an empty scalar
+    val doc3 = asMap(Yaml.parse("a: >-\n\n\nb: 3\n"))
+    assert(doc3.get("a") == "")
+    assert(doc3.get("b") == java.lang.Long.valueOf(3))
+    // a REAL body still parses (regression guard for the bound itself)
+    val doc4 = asMap(Yaml.parse("a: >-\n  body text\nb: 4\n"))
+    assert(doc4.get("a") == "body text")
+    assert(doc4.get("b") == java.lang.Long.valueOf(4))
+  }
+
   test("unsupported YAML features fail loudly, not silently misparse") {
     intercept[IllegalArgumentException](Yaml.parse("a: &anchor v"))
     intercept[IllegalArgumentException](Yaml.parse("a: *alias"))
