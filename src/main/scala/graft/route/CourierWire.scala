@@ -98,8 +98,14 @@ object CourierWire {
         "protocol error: frame shorter than its declared body length") }
     require(in.read() < 0,
       "protocol error: trailing bytes after the declared body length")
-    val z = new DataInputStream(
-      new InflaterInputStream(new ByteArrayInputStream(zbytes)))
+    (nonce, readEventStream(new ByteArrayInputStream(zbytes)))
+  }
+
+  /** The shared compressed event-stream walk (both framings carry the
+    * same `repeat(uint32be len | bytes)` inside zlib).
+    */
+  private def readEventStream(compressed: java.io.InputStream): Seq[Array[Byte]] = {
+    val z = new DataInputStream(new InflaterInputStream(compressed))
     val events = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var done = false
     while (!done) {
@@ -130,7 +136,72 @@ object CourierWire {
         events += e
       }
     }
-    (nonce, events.toSeq)
+    events.toSeq
+  }
+
+  /** The EVNT stream sentinel: the length field of every EVNT frame
+    * (`protocolevnt.go:44-46` rejects anything else).
+    */
+  val EvntStreamSentinel: Int = 0xffffffff
+
+  /** Encode the EVNT framing (`protocolevnt.go:109-144`): magic, the
+    * 0xFFFFFFFF stream sentinel where JDAT declares a body length, the
+    * nonce UNCOMPRESSED, then the level-3 zlib event stream. No body cap
+    * — the framing exists to stream payloads without a size declaration;
+    * the per-event 10 MiB cap still holds on both sides.
+    */
+  def encodeFrameEvnt(events: Seq[Array[Byte]], nonce: Array[Byte]): Array[Byte] = {
+    require(nonce.length == 16, "nonce must be 16 bytes")
+    events.foreach(e => require(e.length <= MaxEventBytes,
+      s"event too large: ${e.length}"))
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeBytes("EVNT")
+    d.writeInt(EvntStreamSentinel)
+    d.write(nonce)
+    d.flush()
+    val dos = new DataOutputStream(
+      new DeflaterOutputStream(out, new Deflater(3)))
+    events.foreach { e => dos.writeInt(e.length); dos.write(e) }
+    dos.close()
+    out.toByteArray
+  }
+
+  /** Returns (nonce, events) from an EVNT frame. Guards mirror
+    * `protocolevnt.go:44-46,73-75`: the length field must be the stream
+    * sentinel, events are capped at 10 MiB, and a truncated stream is a
+    * protocol error, not a silent drop.
+    */
+  def decodeFrameEvnt(frame: Array[Byte]): (Array[Byte], Seq[Array[Byte]]) = {
+    val in = new DataInputStream(new ByteArrayInputStream(frame))
+    val magic = new Array[Byte](4)
+    try in.readFully(magic)
+    catch { case _: java.io.EOFException =>
+      throw new IllegalArgumentException("protocol error: truncated frame header") }
+    require(new String(magic, "US-ASCII") == "EVNT", "protocol error: not an EVNT frame")
+    val lenField = in.readInt()
+    require(lenField == EvntStreamSentinel,
+      s"protocol error: Corrupt message (EVNT size ${lenField.toLong & 0xffffffffL} != ${EvntStreamSentinel.toLong & 0xffffffffL})")
+    val nonce = new Array[Byte](16)
+    try in.readFully(nonce)
+    catch { case _: java.io.EOFException =>
+      throw new IllegalArgumentException(
+        "protocol error: EVNT frame shorter than its 16-byte nonce") }
+    (nonce, readEventStream(in))
+  }
+
+  /** Dispatch on the 4-byte magic: returns (framing, nonce, events) for
+    * either payload framing — what a courier-protocol receiver's message
+    * switch does (`connection.go` routes on the header's first 4 bytes).
+    */
+  def decodeFrameAuto(frame: Array[Byte]): (String, Array[Byte], Seq[Array[Byte]]) = {
+    require(frame.length >= 4, "protocol error: truncated frame header")
+    new String(frame, 0, 4, "US-ASCII") match {
+      case "JDAT" => val (n, e) = decodeFrame(frame); ("JDAT", n, e)
+      case "EVNT" => val (n, e) = decodeFrameEvnt(frame); ("EVNT", n, e)
+      case other => throw new IllegalArgumentException(
+        s"protocol error: unknown message type '$other'")
+    }
   }
 
   /** Default per-frame byte budget for [[frames]]: the body cap minus

@@ -99,6 +99,59 @@ class CourierWireSpec extends SparkTestBase {
     assert(e3.getMessage.contains("protocol error"))
   }
 
+  test("EVNT framing round-trips and cross-checks against JDAT (protocolevnt.go:33-144)") {
+    val events = Seq("""{"a":1}""", """{"b":"two"}""", "").map(_.getBytes("UTF-8"))
+    val n = CourierWire.nonce(42L, 7)
+    val evnt = CourierWire.encodeFrameEvnt(events, n)
+    // header: magic + the 0xFFFFFFFF stream sentinel + UNCOMPRESSED nonce
+    assert(new String(evnt.take(4), "US-ASCII") == "EVNT")
+    assert(java.nio.ByteBuffer.wrap(evnt, 4, 4).getInt == CourierWire.EvntStreamSentinel)
+    assert(evnt.slice(8, 24).toSeq == n.toSeq)
+    val (nonce, decoded) = CourierWire.decodeFrameEvnt(evnt)
+    assert(nonce.toSeq == n.toSeq)
+    assert(decoded.map(new String(_, "UTF-8")) == events.map(new String(_, "UTF-8")))
+    // the two framings carry identical payloads: decode both, compare
+    val jdat = CourierWire.encodeFrame(events, n)
+    val (jn, je) = CourierWire.decodeFrame(jdat)
+    assert(jn.toSeq == nonce.toSeq)
+    assert(je.map(_.toSeq) == decoded.map(_.toSeq))
+    // auto-dispatch routes on the magic like the receiver's message switch
+    val (t1, _, e1) = CourierWire.decodeFrameAuto(evnt)
+    val (t2, _, e2) = CourierWire.decodeFrameAuto(jdat)
+    assert(t1 == "EVNT" && t2 == "JDAT")
+    assert(e1.map(_.toSeq) == e2.map(_.toSeq))
+    intercept[IllegalArgumentException](CourierWire.decodeFrameAuto("XXXX????".getBytes))
+  }
+
+  test("EVNT guards: non-sentinel length field, truncated nonce, oversized event, 10 MiB cap") {
+    val n = CourierWire.nonce(1L, 0)
+    val good = CourierWire.encodeFrameEvnt(Seq("x".getBytes), n)
+    // length field must be the stream sentinel (protocolevnt.go:44-46)
+    val badLen = good.clone()
+    java.nio.ByteBuffer.wrap(badLen, 4, 4).putInt(12345)
+    val e1 = intercept[IllegalArgumentException](CourierWire.decodeFrameEvnt(badLen))
+    assert(e1.getMessage.contains("EVNT size"))
+    // truncated before the nonce completes
+    val e2 = intercept[IllegalArgumentException](CourierWire.decodeFrameEvnt(good.take(8 + 7)))
+    assert(e2.getMessage.contains("protocol error"))
+    // per-event 10 MiB cap refuses to encode (protocolevnt.go:73-75)
+    intercept[IllegalArgumentException](
+      CourierWire.encodeFrameEvnt(Seq(new Array[Byte](CourierWire.MaxEventBytes + 1)), n))
+    // JDAT decoder refuses an EVNT frame and vice versa
+    intercept[IllegalArgumentException](CourierWire.decodeFrame(good))
+    intercept[IllegalArgumentException](
+      CourierWire.decodeFrameEvnt(CourierWire.encodeFrame(Seq("x".getBytes), n)))
+    // a payload too large for a JDAT declaration still streams as EVNT:
+    // ~12 MiB of incompressible events (JDAT's 10 MiB body cap trips)
+    val rnd = new scala.util.Random(3)
+    val big = (0 until 12).map { _ =>
+      val b = new Array[Byte](1 << 20); rnd.nextBytes(b); b
+    }
+    intercept[IllegalArgumentException](CourierWire.encodeFrame(big, n))
+    val (_, back) = CourierWire.decodeFrameEvnt(CourierWire.encodeFrameEvnt(big, n))
+    assert(back.length == 12 && back.zip(big).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("frames flush on the byte budget too: incompressible large events never breach the frame cap") {
     // 64 events of ~200KB of pseudo-random (incompressible) base64-ish
     // text: count alone (spoolSize 1024) would pack ~12.8MB into one
