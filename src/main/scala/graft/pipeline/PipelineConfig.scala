@@ -27,6 +27,94 @@ import graft.grok.Grok
   */
 object PipelineConfig {
 
+  /** One entry of the prospector `files` section: the watch paths plus
+    * the per-group event decoration (`lc-lib/prospector/config.go`:
+    * `FileConfig` embeds the stream config's `fields` and `codecs`). The
+    * full entry is retained in `raw` so codec parameters survive.
+    */
+  case class FileGroup(paths: Seq[String], fields: Map[String, String],
+      codecNames: Seq[String], raw: JsonNode)
+
+  /** A parsed full config document: the `pipelines` stages plus the
+    * `files` section with `includes` already expanded.
+    */
+  case class ConfigDocument(stages: Seq[Stage], files: Seq[FileGroup])
+
+  /** Load a config document from disk, expanding the `includes` section
+    * the way the reference's prospector does
+    * (`lc-lib/prospector/config.go:68-83,158`): each entry is a glob;
+    * every matching file is a YAML/JSON document whose ROOT is a list of
+    * file-group entries, appended to the main document's `files` in glob
+    * order (`testing/log-courier-include.yaml` +
+    * `log-courier-include-entry.yaml` is the canonical pair). Relative
+    * globs resolve against the including file's directory (the reference
+    * resolves against the process cwd, which it launches from the config
+    * dir in its own tests). A group with no `paths` is a config error
+    * (`validateFileConfigs`, config.go:128-141); a glob with no matches
+    * is simply empty, like `filepath.Glob`.
+    */
+  def loadDocument(path: java.nio.file.Path, grok: Grok = Grok.default): ConfigDocument = {
+    val text = java.nio.file.Files.readString(path)
+    val root = parseTree(text, path.toString)
+    val stages =
+      if (root.isObject && root.has("pipelines"))
+        fromReferenceAst(root.get("pipelines"), grok)
+      else Seq.empty
+    val base = Option(path.toAbsolutePath.getParent)
+      .getOrElse(java.nio.file.Paths.get("/"))
+    val own =
+      if (root.isObject && root.has("files")) fileGroups(root.get("files"), path.toString)
+      else Seq.empty
+    val included =
+      if (root.isObject && root.has("includes")) {
+        val inc = root.get("includes")
+        require(inc.isArray, s"'includes' must be a list of globs: $inc")
+        import scala.jdk.CollectionConverters._
+        inc.elements().asScala.toSeq.flatMap { g =>
+          graft.util.Fs.glob(g.asText(), base).flatMap { f =>
+            val sub = parseTree(java.nio.file.Files.readString(f), f.toString)
+            require(sub.isArray,
+              s"include $f must be a list of file-group entries (config.go:75-77)")
+            fileGroups(sub, f.toString)
+          }
+        }
+      } else Seq.empty
+    ConfigDocument(stages, own ++ included)
+  }
+
+  private def parseTree(text: String, pathHint: String): JsonNode = {
+    val lower = pathHint.toLowerCase
+    val head = text.dropWhile(_.isWhitespace)
+    if (lower.endsWith(".json") ||
+        (!lower.endsWith(".yaml") && !lower.endsWith(".yml") &&
+          (head.startsWith("[") || head.startsWith("{"))))
+      JsonFlatten.mapper.readTree(text)
+    else JsonFlatten.mapper.valueToTree(graft.util.Yaml.parse(text))
+  }
+
+  private def fileGroups(arr: JsonNode, where: String): Seq[FileGroup] = {
+    require(arr.isArray, s"'files' must be a list of file groups ($where)")
+    import scala.jdk.CollectionConverters._
+    arr.elements().asScala.zipWithIndex.map { case (e, i) =>
+      require(e.isObject && e.has("paths") && e.get("paths").isArray &&
+        e.get("paths").size() > 0,
+        s"no paths specified for /files[$i]/ ($where)")
+      val paths = e.get("paths").elements().asScala.map(_.asText()).toSeq
+      val fields =
+        if (e.has("fields"))
+          e.get("fields").properties().asScala
+            .map(p => p.getKey -> p.getValue.asText()).toMap
+        else Map.empty[String, String]
+      val codecs =
+        if (e.has("codecs"))
+          e.get("codecs").elements().asScala
+            .map(c => if (c.has("name")) c.get("name").asText() else c.fieldNames().next())
+            .toSeq
+        else Seq.empty
+      FileGroup(paths, fields, codecs, e)
+    }.toSeq
+  }
+
   def fromJson(json: String, grok: Grok = Grok.default): Seq[Stage] = {
     val root = JsonFlatten.mapper.readTree(json)
     require(root.isArray, "pipeline config must be a JSON array of stages")

@@ -32,4 +32,41 @@ object Fs {
       case e: java.io.UncheckedIOException if tolerant &&
         e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
+
+  /** Filesystem glob with Go `filepath.Glob` semantics (the shape the
+    * reference's config `includes` use, `lc-lib/prospector/config.go:74`):
+    * `*`/`?`/`[...]` match within one path segment, no `**`, and matches
+    * return sorted. A relative pattern resolves against `base`. A pattern
+    * with no matches is an empty result, not an error.
+    */
+  def glob(pattern: String, base: Path = java.nio.file.Paths.get(".")): Seq[Path] = {
+    val isAbs = pattern.startsWith("/")
+    val segs = pattern.split("/").toList.filter(s => s.nonEmpty && s != ".")
+    val start = if (isAbs) java.nio.file.Paths.get("/") else base
+    def hasMeta(s: String): Boolean = s.exists(c => c == '*' || c == '?' || c == '[')
+    def walk(dir: Path, rest: List[String]): Seq[Path] = rest match {
+      case Nil => Nil
+      case seg :: tail if !hasMeta(seg) =>
+        val next = dir.resolve(seg)
+        if (tail.isEmpty) { if (Files.exists(next)) Seq(next) else Nil }
+        else if (Files.isDirectory(next)) walk(next, tail)
+        else Nil
+      case seg :: tail =>
+        if (!Files.isDirectory(dir)) Nil
+        else {
+          val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$seg")
+          import scala.jdk.CollectionConverters._
+          val listing = Files.list(dir)
+          val entries =
+            try listing.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+            finally listing.close()
+          entries.filter(e => m.matches(e.getFileName)).flatMap { e =>
+            if (tail.isEmpty) Seq(e)
+            else if (Files.isDirectory(e)) walk(e, tail)
+            else Nil
+          }
+        }
+    }
+    walk(start, segs).sortBy(_.toString)
+  }
 }

@@ -228,6 +228,95 @@ class PipelineConfigSpec extends SparkTestBase {
     java.nio.file.Files.delete(dbFile)
   }
 
+  test("config includes: glob-expanded file lists merge into the files section (config.go:68-83)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-includes")
+    def write(name: String, text: String): java.nio.file.Path =
+      java.nio.file.Files.write(dir.resolve(name), text.getBytes("UTF-8"))
+    // the testing/log-courier-include.yaml shape: a main document with its
+    // own files entry plus a glob, and two include files each carrying a
+    // ROOT-level list of file-group entries
+    val main = write("log-courier.yaml",
+      """pipelines:
+        |- name: add_tag
+        |  tag: included
+        |files:
+        |- paths:
+        |  - singleline-generated.log
+        |includes:
+        |- ./log-courier-include-*.yaml
+        |""".stripMargin)
+    write("log-courier-include-b.yaml",
+      """- paths:
+        |  - multiline-generated.log
+        |  codecs:
+        |  - name: multiline
+        |    patterns:
+        |    - "!$"
+        |    previous timeout: 30s
+        |  fields:
+        |    type: nginx
+        |""".stripMargin)
+    write("log-courier-include-a.yaml",
+      """- paths:
+        |  - apache-*.log
+        |  - extra.log
+        |- paths:
+        |  - syslog.log
+        |""".stripMargin)
+    val doc = PipelineConfig.loadDocument(main)
+    assert(doc.stages.length == 1)
+    // main's own files first, then includes in glob-sorted order (a < b)
+    assert(doc.files.map(_.paths) == Seq(
+      Seq("singleline-generated.log"), Seq("apache-*.log", "extra.log"),
+      Seq("syslog.log"), Seq("multiline-generated.log")))
+    val ml = doc.files.last
+    assert(ml.fields == Map("type" -> "nginx"))
+    assert(ml.codecNames == Seq("multiline"))
+    // codec parameters survive on the raw node
+    assert(ml.raw.get("codecs").get(0).get("previous timeout").asText() == "30s")
+
+    // a glob with no matches is empty, like filepath.Glob
+    val lone = write("lone.yaml",
+      "files:\n- paths:\n  - a.log\nincludes:\n- ./nothing-*.yaml\n")
+    assert(PipelineConfig.loadDocument(lone).files.map(_.paths) == Seq(Seq("a.log")))
+
+    // a group with no paths is the reference's config error (config.go:128-141)
+    write("log-courier-include-c.yaml", "- fields:\n    type: bare\n")
+    val e1 = intercept[IllegalArgumentException](PipelineConfig.loadDocument(main))
+    assert(e1.getMessage.contains("no paths specified"))
+    java.nio.file.Files.delete(dir.resolve("log-courier-include-c.yaml"))
+
+    // an include whose root is not a list fails loudly (config.go:75-77)
+    write("log-courier-include-c.yaml", "files:\n- paths:\n  - x.log\n")
+    val e2 = intercept[IllegalArgumentException](PipelineConfig.loadDocument(main))
+    assert(e2.getMessage.contains("list of file-group entries"))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
+  test("Fs.glob: Go filepath.Glob semantics — segment-scoped metas, sorted, no-match empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-glob")
+    def touch(rel: String): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, Array.empty[Byte])
+    }
+    Seq("a1.log", "a2.log", "b1.txt", "sub/a3.log", "sub/deep/a4.log")
+      .foreach(touch)
+    def names(pat: String): Seq[String] =
+      graft.util.Fs.glob(pat, dir).map(p => dir.relativize(p).toString)
+    assert(names("*.log") == Seq("a1.log", "a2.log")) // sorted, one segment
+    assert(names("a?.log") == Seq("a1.log", "a2.log"))
+    assert(names("[ab]1.*") == Seq("a1.log", "b1.txt"))
+    assert(names("sub/*.log") == Seq("sub/a3.log"))
+    assert(names("*/deep/a4.log") == Seq("sub/deep/a4.log"))
+    assert(names("*.missing").isEmpty)
+    assert(names("sub").== (Seq("sub"))) // literal segment: existence check
+    // absolute patterns ignore base
+    assert(graft.util.Fs.glob(dir.resolve("a1.log").toString) ==
+      Seq(dir.resolve("a1.log")))
+    graft.util.Fs.deleteRecursively(dir)
+  }
+
   test("endpoint policies: failover / loadbalance / random") {
     val eps = Seq("es-1", "es-2", "es-3")
     val fo = EndpointSet(eps, "failover")
