@@ -19,6 +19,81 @@ class MultimodalSpec extends SparkTestBase {
       assert(f.width >= 0 && f.width < 640)
       assert(f.height >= 0 && f.height < 480)
       assert(f.n_frames >= 1)
+      assert(f.codec == "stub") // text payloads are not images
+    }
+  }
+
+  test("real decode: PNG/BMP/GIF round-trip pixels exactly through javax.imageio") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val bytes = Multimodal.encodeGray(17, 9, (x, y) => (x * 31 + y * 7) % 256, fmt)
+      val d = Multimodal.decodeImage(bytes)
+        .getOrElse(fail(s"decoder rejected its own $fmt output"))
+      assert(d.codec == s"imageio:$fmt")
+      assert(d.width == 17 && d.height == 9 && d.nFrames == 1)
+      for (y <- 0 until 9; x <- 0 until 17)
+        assert((d.gray(y * 17 + x) & 0xff) == (x * 31 + y * 7) % 256,
+          s"$fmt pixel ($x,$y)")
+    }
+    // JPEG is lossy: dimensions and codec are contractual, pixels are not
+    val j = Multimodal.decodeImage(
+      Multimodal.encodeGray(17, 9, (_, _) => 128, "jpg")).get
+    assert(j.codec == "imageio:jpeg" && j.width == 17 && j.height == 9)
+  }
+
+  test("real decode: multi-frame GIF reports its true frame count") {
+    // write a 3-frame GIF through the JDK's sequence writer
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    for (f <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(
+        5, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 4; x <- 0 until 5) img.getRaster.setSample(x, y, 0, f * 40)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val d = Multimodal.decodeImage(out.toByteArray).get
+    assert(d.codec == "imageio:gif" && d.nFrames == 3)
+    assert(d.width == 5 && d.height == 4)
+    assert((d.gray(0) & 0xff) == 0) // frame 0's pixels
+  }
+
+  test("decode guards: text that smells like BMP/GIF magic stays a stub, not an allocation") {
+    // "BM" + text: BITMAPINFOHEADER dims would be garbage ASCII — rejected
+    val bmish = ("BM" + "a" * 60).getBytes("UTF-8")
+    assert(Multimodal.decodeImage(bmish).isEmpty)
+    val gifish = ("GIF87a" + "z" * 40).getBytes("UTF-8")
+    assert(Multimodal.decodeImage(gifish).isEmpty)
+    // a truncated real PNG is a loud-enough reader failure -> None
+    val png = Multimodal.encodeGray(16, 12, (x, y) => x + y)
+    assert(Multimodal.decodeImage(png.take(30)).isEmpty)
+    // and the feature path flags the fallback row rather than dying
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, "s"),
+      Multimodal.MediaRow(2L, "audio", bmish, "s")).toDS()
+    val feats = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).codec == "imageio:png" && feats(1L).width == 16)
+    assert(feats(2L).codec == "stub")
+    // decoded-raster checksum, not payload checksum, on the real path
+    assert(feats(1L).checksum == Multimodal.fnv(
+      Array.tabulate(16 * 12)(k => ((k % 16) + (k / 16)).toByte)))
+  }
+
+  test("resizeDecoded: 2-D nearest-neighbor over real decoded pixels") {
+    import spark.implicits._
+    val png = Multimodal.encodeGray(20, 15, (x, y) => (x * 3 + y * 11) % 256)
+    val rows = Seq(Multimodal.MediaRow(7L, "image", png, "s")).toDS()
+    val out = Multimodal.resizeDecoded(rows, 8, 6).collect()(0)
+    assert(out.getString(1) == "imageio:png")
+    assert(out.getInt(2) == 20 && out.getInt(3) == 15)
+    val p = out.getAs[Array[Byte]]("payload")
+    assert(p.length == 48)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val sx = x * 20 / 8; val sy = y * 15 / 6
+      assert((p(y * 8 + x) & 0xff) == (sx * 3 + sy * 11) % 256, s"($x,$y)")
     }
   }
 
