@@ -260,14 +260,24 @@ object QueriesR6 {
   // of q_ann_pq, so the whole index — training, routing, quantization,
   // search — replays in one statement.
   // ---------------------------------------------------------------
-  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def qAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(spark, dir, col("vec_id") % 40 === 0)
+
+  /** [[qAnnIvfPq]] with the query batch selected by `queryPred` — the
+    * probe measures the operator contract (a FIXED query batch over a
+    * growing corpus) separately from the driver query's every-40th-vector
+    * batch, which grows with the corpus and makes query × candidate work
+    * superlinear by construction.
+    */
+  def annIvfPq(spark: SparkSession, dir: String,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
     val emb = tbl(spark, dir, "embeddings")
     val cents = graft.sim.Ann.kmeansCentroids(emb,
       k = QueriesR4.KmeansK, iters = QueriesR4.KmeansIters, dim = 64)
     val corpus = graft.sim.Ann.kmeansAssign(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("cluster"),
         graft.sim.Ann.pqCodes(col("embedding"), pqCodebook).as("_codes"))
-    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val queries = emb.filter(queryPred)
       .select(col("vec_id").as("query_id"),
         graft.sim.Ann.pqQueryTable(col("embedding"), pqCodebook).as("_qt"),
         explode(graft.sim.Ann.kmeansCells(col("embedding"), cents, 2))

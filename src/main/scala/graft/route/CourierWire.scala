@@ -204,6 +204,129 @@ object CourierWire {
     }
   }
 
+  // =====================================================================
+  // Control frames — the non-payload half of the protocol: negotiation
+  // (HELO/VERS/UNKN), keepalive (PING/PONG) and acknowledgement (ACKN).
+  // Formats per `protocolhelo.go`/`protocolvers.go` (32-byte body:
+  // 4 flags | 3×uint32be version | 4-char client | 12 reserved),
+  // `protocolping.go`/`protocolpong.go`/`protocolunkn.go` (empty body),
+  // `protocolackn.go` (20-byte body: 16-byte nonce | uint32be sequence).
+  // =====================================================================
+
+  sealed trait Control
+  final case class Helo(hs: Handshake) extends Control
+  final case class Vers(hs: Handshake) extends Control
+  case object Ping extends Control
+  case object Pong extends Control
+  /** The reply a pre-handshake receiver sends to a message type it does
+    * not understand (`protocolunkn.go`) — negotiation treats it as "no
+    * handshake support" rather than an error (`protocol.go:93-98`).
+    */
+  case object Unkn extends Control
+  final case class Ackn(nonce: Array[Byte], sequence: Long) extends Control
+
+  /** Short→full client-name mapping (`common.go:30-35`). */
+  val ClientNames: Map[String, String] = Map(
+    "LCOR" -> "Log Courier", "LCVR" -> "Log Carver", "RYLC" -> "Ruby Log Courier")
+
+  /** The 32-byte HELO/VERS negotiation body. `flags(0) & 0x01` is the
+    * SupportsEVNT bit (`protocolvers.go:38-41`); a NUL-leading client is
+    * an anonymous peer (`protocolvers.go:113-126`).
+    */
+  final case class Handshake(flags: Array[Byte], major: Long, minor: Long,
+      patch: Long, client: String) {
+    require(flags.length == 4, "handshake flags must be 4 bytes")
+    require(client.length == 4, "client identifier must be 4 characters")
+    def supportsEvnt: Boolean = (flags(0) & 0x01) != 0
+    def clientName: String =
+      if (client.charAt(0) == '\u0000') {
+        if (major == 0 && minor == 0 && patch == 0) "Unknown"
+        else s"Unknown v$major.$minor.$patch"
+      } else s"${ClientNames.getOrElse(client, client)} v$major.$minor.$patch"
+  }
+
+  /** Our announcement: EVNT-capable by default, like `createProtocolVERS`. */
+  def handshake(client: String = "LCVR", supportsEvnt: Boolean = true,
+      major: Long = 2, minor: Long = 0, patch: Long = 0): Handshake =
+    Handshake(Array[Byte](if (supportsEvnt) 1 else 0, 0, 0, 0),
+      major, minor, patch, client)
+
+  def encodeControl(c: Control): Array[Byte] = {
+    val out = new ByteArrayOutputStream(40)
+    val d = new DataOutputStream(out)
+    c match {
+      case Helo(hs) => d.writeBytes("HELO"); d.writeInt(32); writeHandshake(d, hs)
+      case Vers(hs) => d.writeBytes("VERS"); d.writeInt(32); writeHandshake(d, hs)
+      case Ping => d.writeBytes("PING"); d.writeInt(0)
+      case Pong => d.writeBytes("PONG"); d.writeInt(0)
+      case Unkn => d.writeBytes("????"); d.writeInt(0)
+      case Ackn(nonce, seq) =>
+        require(nonce.length == 16, "nonce must be 16 bytes")
+        require(seq >= 0 && seq <= 0xffffffffL, s"sequence out of uint32 range: $seq")
+        d.writeBytes("ACKN"); d.writeInt(20); d.write(nonce); d.writeInt(seq.toInt)
+    }
+    d.flush()
+    out.toByteArray
+  }
+
+  private def writeHandshake(d: DataOutputStream, hs: Handshake): Unit = {
+    d.write(hs.flags)
+    d.writeInt(hs.major.toInt); d.writeInt(hs.minor.toInt); d.writeInt(hs.patch.toInt)
+    d.writeBytes(hs.client)
+    d.write(new Array[Byte](12)) // reserved
+  }
+
+  /** Decode a control frame, enforcing each type's size contract: ACKN
+    * exactly 20 (`protocolackn.go:39-41`), PING/PONG/the UNKN reply
+    * exactly 0, HELO/VERS at most 32 with missing bytes read as zero
+    * (`protocolhelo.go:50-57` — an empty HELO is a legal anonymous
+    * non-EVNT peer).
+    */
+  def decodeControl(frame: Array[Byte]): Control = {
+    require(frame.length >= 8, "protocol error: truncated frame header")
+    val magic = new String(frame, 0, 4, "US-ASCII")
+    val bodyLen = java.nio.ByteBuffer.wrap(frame, 4, 4).getInt
+    require(bodyLen == frame.length - 8,
+      s"protocol error: $magic declares $bodyLen body bytes, carries ${frame.length - 8}")
+    def handshakeBody(): Handshake = {
+      require(bodyLen <= 32, s"protocol error: Corrupt message ($magic size $bodyLen > 32)")
+      val data = new Array[Byte](32)
+      System.arraycopy(frame, 8, data, 0, bodyLen)
+      val b = java.nio.ByteBuffer.wrap(data)
+      val flags = new Array[Byte](4); b.get(flags)
+      Handshake(flags, b.getInt & 0xffffffffL, b.getInt & 0xffffffffL,
+        b.getInt & 0xffffffffL, new String(data, 16, 4, "US-ASCII"))
+    }
+    def empty(c: Control): Control = {
+      require(bodyLen == 0, s"protocol error: Corrupt message $magic size $bodyLen != 0")
+      c
+    }
+    magic match {
+      case "HELO" => Helo(handshakeBody())
+      case "VERS" => Vers(handshakeBody())
+      case "PING" => empty(Ping)
+      case "PONG" => empty(Pong)
+      case "????" => empty(Unkn)
+      case "ACKN" =>
+        require(bodyLen == 20, s"protocol error: Corrupt message (ACKN size $bodyLen != 20)")
+        Ackn(frame.slice(8, 24), java.nio.ByteBuffer.wrap(frame, 24, 4).getInt & 0xffffffffL)
+      case other => throw new IllegalArgumentException(
+        s"protocol error: unknown message type '$other'")
+    }
+  }
+
+  /** Client-side negotiation outcome (`protocol.go:79-110`): we sent
+    * HELO; a VERS reply selects EVNT iff BOTH sides advertise it, the
+    * UNKN reply means a pre-handshake peer (JDAT, no error), anything
+    * else is a protocol violation.
+    */
+  def negotiatedFraming(ours: Handshake, reply: Control): String = reply match {
+    case Vers(hs) => if (ours.supportsEvnt && hs.supportsEvnt) "EVNT" else "JDAT"
+    case Unkn => "JDAT"
+    case other => throw new IllegalArgumentException(
+      s"unexpected $other reply to negotiation, expected VERS")
+  }
+
   /** Default per-frame byte budget for [[frames]]: the body cap minus
     * the nonce and a worst-case zlib expansion margin (stored blocks add
     * ~5 bytes per 64 KiB on incompressible input — ~800 bytes at 10 MiB;

@@ -152,6 +152,63 @@ class CourierWireSpec extends SparkTestBase {
     assert(back.length == 12 && back.zip(big).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("control frames: HELO/VERS/PING/PONG/UNKN/ACKN round-trip with their size contracts") {
+    import CourierWire._
+    // HELO/VERS carry the 32-byte negotiation body
+    val hs = handshake(client = "LCOR", supportsEvnt = true, major = 2, minor = 12, patch = 1)
+    val helo = encodeControl(Helo(hs))
+    assert(helo.length == 40 && new String(helo.take(4), "US-ASCII") == "HELO")
+    val Helo(back) = decodeControl(helo): @unchecked
+    assert(back.supportsEvnt && back.major == 2 && back.minor == 12 && back.patch == 1)
+    assert(back.clientName == "Log Courier v2.12.1") // common.go:30-35 mapping
+    val Vers(v) = decodeControl(encodeControl(Vers(handshake(supportsEvnt = false)))): @unchecked
+    assert(!v.supportsEvnt && v.clientName == "Log Carver v2.0.0")
+    // a SHORT (even empty) HELO body reads as zeros: anonymous non-EVNT
+    // peer (protocolhelo.go:50-57, protocolvers.go:113-118)
+    val anon = decodeControl("HELO".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0))
+    val Helo(a) = anon: @unchecked
+    assert(!a.supportsEvnt && a.clientName == "Unknown")
+    // keepalive + unknown-type reply are empty-bodied; nonzero size is corrupt
+    for (c <- Seq[Control](Ping, Pong, Unkn)) {
+      val f = encodeControl(c)
+      assert(f.length == 8 && decodeControl(f) == c)
+      val bad = f ++ Array[Byte](1)
+      intercept[IllegalArgumentException](decodeControl(bad))
+    }
+    assert(new String(encodeControl(Unkn).take(4), "US-ASCII") == "????") // protocolunkn.go:47
+    // ACKN: 16-byte nonce + uint32be sequence, exactly 20 (protocolackn.go:39-41)
+    val n = nonce(9L, 3, 1)
+    val ack = encodeControl(Ackn(n, 0xfffffffeL))
+    assert(ack.length == 28)
+    val Ackn(an, seq) = decodeControl(ack): @unchecked
+    assert(an.toSeq == n.toSeq && seq == 0xfffffffeL) // uint32 survives the round trip
+    val badAck = encodeControl(Ackn(n, 7)).dropRight(1)
+    intercept[IllegalArgumentException](decodeControl(badAck))
+    intercept[IllegalArgumentException](encodeControl(Ackn(n, 0x100000000L)))
+    intercept[IllegalArgumentException](decodeControl("XXXX    ".getBytes("US-ASCII")))
+  }
+
+  test("negotiation: EVNT iff both sides advertise it; UNKN reply = legacy JDAT peer (protocol.go:79-110)") {
+    import CourierWire._
+    val evntSide = handshake(supportsEvnt = true)
+    val legacySide = handshake(supportsEvnt = false)
+    assert(negotiatedFraming(evntSide, Vers(evntSide)) == "EVNT")
+    assert(negotiatedFraming(evntSide, Vers(legacySide)) == "JDAT")
+    assert(negotiatedFraming(legacySide, Vers(evntSide)) == "JDAT")
+    assert(negotiatedFraming(evntSide, Unkn) == "JDAT")
+    intercept[IllegalArgumentException](negotiatedFraming(evntSide, Ping))
+    // the negotiated framing drives which encoder a sender uses — and
+    // both carry identical payloads (SendEvents, protocol.go:113-131)
+    val events = Seq("""{"x":1}""".getBytes("UTF-8"))
+    val nn = nonce(1L, 0)
+    val framed = negotiatedFraming(evntSide, Vers(evntSide)) match {
+      case "EVNT" => encodeFrameEvnt(events, nn)
+      case _ => encodeFrame(events, nn)
+    }
+    val (kind, _, decoded) = decodeFrameAuto(framed)
+    assert(kind == "EVNT" && decoded.head.toSeq == events.head.toSeq)
+  }
+
   test("frames flush on the byte budget too: incompressible large events never breach the frame cap") {
     // 64 events of ~200KB of pseudo-random (incompressible) base64-ish
     // text: count alone (spoolSize 1024) would pack ~12.8MB into one
