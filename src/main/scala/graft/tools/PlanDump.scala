@@ -92,6 +92,14 @@ object PlanDump {
     // the corpus side with ONLY the query table broadcast
     dump("q_line_dedup", graft.queries.QueriesR6.qLineDedup(s, dir))
     dump("q_ann_pq", graft.queries.QueriesR6.qAnnPq(s, dir))
+    // round-7 surfaces: as-of join must be ONE hash exchange + window —
+    // no Join node anywhere (the union-and-carry shape); CMS heavy
+    // hitters' estimate must be a projection over the counts aggregate
+    // (the lattice is a plan literal — no second corpus scan, no join);
+    // multimodal decode is the batched mapPartitions lattice
+    dump("q_asof_join", graft.queries.QueriesR7.qAsofJoin(s, dir))
+    dump("q_cms_heavy_hitters", graft.queries.QueriesR7.qCmsHeavyHitters(s, dir))
+    dump("q_multimodal_decode", graft.queries.QueriesR7.qMultimodalDecode(s, dir))
     s.stop()
   }
 }
