@@ -65,6 +65,132 @@ object QueriesR7 {
       |  ON e.user_id = d.user_id AND e.ts >= d.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Range (point-in-interval) join, driver-verified: every event is
+    * matched to the same user's 6-hour post-signup windows containing
+    * it. The engine runs the bucketized equi-join
+    * ([[graft.operators.RangeJoin]] — intervals explode into the
+    * bucket-width chunks they cover, the join is a plain `(key, chunk)`
+    * equi-join refined by the exact range predicate; never a
+    * nested-loop); the oracle is DuckDB's plain inequality join —
+    * agreement proves the chunking neither drops nor duplicates a
+    * single boundary pair (half-open `[start, end)`).
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"),
+        col("event_id").as("window_id"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select("event_id", "user_id", "ts", "event_type"), windows,
+        key = "user_id", tsCol = "ts", startCol = "w_start", endCol = "w_end",
+        bucketSeconds = 21600)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("window_id"))
+      .orderBy("event_id", "window_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, w.window_id
+      |FROM events e JOIN
+      |  (SELECT user_id, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end,
+      |          event_id AS window_id
+      |   FROM events WHERE event_type = 'signup') w
+      |ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
+      |ORDER BY e.event_id, w.window_id""".stripMargin
+
+  /** Gap-based sessionization, driver-verified: per-user sessions close
+    * after 30 idle minutes. The engine uses Spark's NATIVE
+    * `session_window` aggregate (one shuffle on the key, merging
+    * windows map-side — and the SAME expression runs under Structured
+    * Streaming with a watermark, which a hand-rolled lag/cumsum window
+    * does not); the oracle replays the classic batch spelling — lag →
+    * boundary flag at gap >= 30 min → running sum → group — so the two
+    * independent formulations must agree on every boundary, including
+    * the convention that a gap of EXACTLY the timeout starts a new
+    * session (session_window's end bound is exclusive).
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val qSessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** STREAMING sessionization, driver-verified: the same
+    * `session_window` aggregation as [[qSessionize]] run as a REAL
+    * Structured-Streaming job — time-range-partitioned source files,
+    * maxFilesPerTrigger-bounded micro-batches, a 30-minute watermark,
+    * append mode (sessions emit only once the watermark proves them
+    * closed). A far-future sentinel event per user pushes the final
+    * watermark past every real session, so the committed output is the
+    * COMPLETE closed-session set; the sentinel sessions are then
+    * dropped by their timestamp and the batch SQL oracle must match
+    * exactly — micro-batch boundaries cannot change a session, or the
+    * hash breaks.
+    */
+  def qStreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // bounded: one scalar
+    val cutoff = new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sessions")
+    // range-partitioned by ts so file order == time order: no event is
+    // late beyond the watermark when micro-batches consume files in
+    // path order (the sentinel lands in the last file by construction)
+    ev.unionByName(sentinels).repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$base/src")
+    val query = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .filter(col("session_start") < lit(cutoff)) // drop the sentinel sessions
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Same replay as [[qSessionizeSql]] — the streaming run must agree
+    * with the batch spelling session for session.
+    */
+  val qStreamSessionsSql: String = qSessionizeSql
+
   /** Count-Min heavy hitters, driver-verified: one corpus scan folds
     * every ASCII word into the 4×1024 sketch
     * ([[graft.sketch.CountMin]] — constant state per partition, d·w-long
