@@ -43,15 +43,23 @@ object RangeJoin {
     require(collisions.isEmpty,
       s"interval columns collide with point columns: ${collisions.mkString(", ")}")
 
+    // all arithmetic in MICROSECONDS — parquet timestamps carry micro
+    // precision, and a second-truncated compare silently changes
+    // sub-second boundary semantics (a point 0.1 s before an interval's
+    // fractional end must match; one 0.1 s after a fractional start
+    // must not) and can even skip the boundary chunk in the coverage
+    // explode. Caught by a one-row diff against the naive join at 1.6M
+    // events; pinned in RangeJoinSpec's sub-second cases.
+    val bucketUs = bucketSeconds * 1000000L
     val pts = points.withColumn("_epoch",
-        col(tsCol).cast("timestamp").cast("long"))
-      .withColumn("_chunk", expr(s"_epoch div $bucketSeconds"))
+        unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("_chunk", expr(s"_epoch div ${bucketUs}L"))
       .drop("_epoch")
     val iv = intervals
-      .withColumn("_s", col(startCol).cast("timestamp").cast("long"))
-      .withColumn("_e", col(endCol).cast("timestamp").cast("long"))
+      .withColumn("_s", unix_micros(col(startCol).cast("timestamp")))
+      .withColumn("_e", unix_micros(col(endCol).cast("timestamp")))
     val guarded = iv.withColumn("_nchunks",
-      expr(s"(_e - 1) div $bucketSeconds") - expr(s"_s div $bucketSeconds") + 1)
+      expr(s"(_e - 1) div ${bucketUs}L") - expr(s"_s div ${bucketUs}L") + 1)
     // loud failure on a mis-sized bucket: assert inside the plan so the
     // job dies with the offending interval length, not an OOM later
     val expanded = guarded
@@ -64,11 +72,11 @@ object RangeJoin {
           .otherwise(col("_nchunks")))
       .filter(col("_guard").isNotNull)
       .withColumn("_chunk",
-        explode(sequence(expr(s"_s div $bucketSeconds"),
-          expr(s"(_e - 1) div $bucketSeconds"))))
+        explode(sequence(expr(s"_s div ${bucketUs}L"),
+          expr(s"(_e - 1) div ${bucketUs}L"))))
     pts.join(expanded, Seq(key, "_chunk"))
-      .filter(col(tsCol).cast("timestamp").cast("long") >= col("_s") &&
-        col(tsCol).cast("timestamp").cast("long") < col("_e"))
+      .filter(unix_micros(col(tsCol).cast("timestamp")) >= col("_s") &&
+        unix_micros(col(tsCol).cast("timestamp")) < col("_e"))
       .drop("_chunk", "_s", "_e", "_nchunks", "_guard")
   }
 }

@@ -100,6 +100,11 @@ object PlanDump {
     dump("q_asof_join", graft.queries.QueriesR7.qAsofJoin(s, dir))
     dump("q_cms_heavy_hitters", graft.queries.QueriesR7.qCmsHeavyHitters(s, dir))
     dump("q_multimodal_decode", graft.queries.QueriesR7.qMultimodalDecode(s, dir))
+    // range join must be a shuffled (key, chunk) equi-join — never a
+    // nested loop; sessionize must be the native session_window
+    // aggregate (map-side merge before the one key shuffle)
+    dump("q_range_join", graft.queries.QueriesR7.qRangeJoin(s, dir))
+    dump("q_sessionize", graft.queries.QueriesR7.qSessionize(s, dir))
     s.stop()
   }
 }

@@ -27,6 +27,27 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 100L), (2L, 200L), (3L, 100L), (3L, 200L)))
   }
 
+  test("sub-second boundaries: microsecond compare, never second truncation") {
+    def tsu(s: String, micros: Int) = {
+      val t = java.sql.Timestamp.valueOf(s); t.setNanos(micros * 1000); t
+    }
+    val pts = Seq(
+      (1L, "u", tsu("2024-01-01 10:00:00", 100000)), // 0.1s: before the .3s end -> IN
+      (2L, "u", tsu("2024-01-01 10:00:00", 400000)), // 0.4s: past the .3s end -> OUT
+      (3L, "u", tsu("2024-01-01 09:00:00", 100000)), // 0.1s: before the .3s start -> OUT
+      (4L, "u", tsu("2024-01-01 09:00:00", 300000))  // exactly the .3s start -> IN
+    ).toDF("event_id", "user", "ts")
+    val ivs = Seq(
+      ("u", tsu("2024-01-01 09:00:00", 300000), tsu("2024-01-01 10:00:00", 300000), 1L)
+    ).toDF("user", "w_start", "w_end", "wid")
+    // bucket = 1 hour puts the interval's fractional end exactly on a
+    // chunk boundary second — the case a floor-of-seconds coverage skips
+    val got = RangeJoin.pointInInterval(pts, ivs, key = "user", tsCol = "ts",
+        startCol = "w_start", endCol = "w_end", bucketSeconds = 3600)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+  }
+
   test("chunking invariance: any bucket width yields the identical pair set") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val windows = ev.filter(col("event_type") === "signup")
