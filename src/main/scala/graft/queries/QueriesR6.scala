@@ -457,12 +457,11 @@ object QueriesR6 {
   val ClassifierBuckets = 512
   def qQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
-    // foldable weight array: w[i] = ((i·2654435761) mod 2000)/1000 − 1
-    val weights = transform(sequence(lit(0), lit(ClassifierBuckets - 1)),
-      i => pmod(i.cast("long") * 2654435761L, lit(2000L)).cast("double") / 1000.0 - 1.0)
-    val s = graft.text.TextAnalysis.hashedLinearScore(
-      col("text"), weights, ClassifierBuckets)
-    docs.select(col("doc_id"), s.as("s"))
+    // literal weight array: w[i] = ((i·2654435761) mod 2000)/1000 − 1
+    val weights = Array.tabulate(ClassifierBuckets)(i =>
+      (i.toLong * 2654435761L % 2000L).toDouble / 1000.0 - 1.0)
+    graft.text.TextAnalysis.hashedLinearScoreDf(
+        docs, "text", weights, ClassifierBuckets)
       .select(col("doc_id"), col("s.n_feats").as("n_feats"),
         round(col("s.score"), 4).as("score"))
       .orderBy("doc_id")

@@ -102,6 +102,9 @@ object DataScaleProbe {
       // (one corpus scan, alphabet-bounded shuffle)
       "q_lm_perplexity" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR6.qLmPerplexity(s, d)),
+      // staged-projection classifier (one tree eval per row)
+      "q_quality_classifier" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR6.qQualityClassifier(s, d)),
       // the driver query AS SHIPPED: its query batch is every-40th
       // vector, so queries grow ∝ n and query × corpus ADC work is
       // superlinear BY CONSTRUCTION of the benchmark, not the operator —
@@ -154,8 +157,12 @@ object DataScaleProbe {
       case None => queries
     }
 
+    // consume via toRdd: count() prunes pure-projection queries (the
+    // LM scoring pass measured as a bare scan until r7)
+    def consume(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
     // JIT/codegen warmup off the measured path
-    selected.foreach { case (_, fn) => fn(s, roots.head._2, scales.head).count() }
+    selected.foreach { case (_, fn) => consume(fn(s, roots.head._2, scales.head)) }
 
     println(f"${"query"}%-22s " + scales.map(k => f"x$k%-9s").mkString(" ")
       + "   segment exponents (log t ratio / log n ratio)")
@@ -164,7 +171,7 @@ object DataScaleProbe {
         var best = Double.MaxValue
         for (_ <- 1 to 2) {
           val t0 = System.nanoTime()
-          fn(s, root, k).count()
+          consume(fn(s, root, k))
           best = math.min(best, (System.nanoTime() - t0) / 1e9)
         }
         (k, best)

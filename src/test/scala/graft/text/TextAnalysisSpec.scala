@@ -311,7 +311,7 @@ class TextAnalysisSpec extends SparkTestBase {
   test("hashedLinearScore: features, buckets and sigmoid match a local replay") {
     val b = 64
     // constant weights make the score a pure feature-count check first
-    val ones = transform(sequence(lit(0), lit(b - 1)), _ => lit(0.5))
+    val ones = Array.fill(b)(0.5)
     val r1 = Seq("The cat sat").toDF("text")
       .select(TextAnalysis.hashedLinearScore(col("text"), ones, b).as("s"))
       .select(col("s.n_feats"), col("s.score")).collect()(0)
@@ -320,8 +320,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(r1.getDouble(1) - 1.0 / (1.0 + math.exp(-0.5))) < 1e-12)
     // varying weights: replay buckets + weights locally
     val weights = (0 until b).map(i => ((i.toLong * 2654435761L) % 2000L) / 1000.0 - 1.0)
-    val wCol = transform(sequence(lit(0), lit(b - 1)),
-      i => pmod(i.cast("long") * 2654435761L, lit(2000L)).cast("double") / 1000.0 - 1.0)
+    val wCol = weights.toArray
     def bucket(f: String): Int = {
       val mid = (f.length + 1) / 2
       ((f.length * 97L + f.charAt(0).toLong * 961L
@@ -341,6 +340,19 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextAnalysis.hashedLinearScore(col("text"), ones, b).as("s"))
       .select(col("s.n_feats"), col("s.score")).collect()(0)
     assert(r3.getLong(0) == 0L && r3.getDouble(1) == 0.5)
+
+    // the staged DataFrame form (one tree evaluation per row — the
+    // corpus-scale spelling) is bit-identical to the Column form on
+    // real documents, including NULLs and single-word docs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaCol = docs.select(col("doc_id"),
+        TextAnalysis.hashedLinearScore(col("text"), wCol.toArray, b).as("s"))
+      .select(col("doc_id"), col("s.n_feats"), col("s.score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaDf = TextAnalysis.hashedLinearScoreDf(docs, "text", wCol.toArray, b)
+      .select(col("doc_id"), col("s.n_feats"), col("s.score"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaDf == viaCol)
   }
 
   test("charTrigramLm: normalization classes, bounded model, local score replay") {
