@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio's default image-input-stream cache is DISK-backed: a
+  // temp FILE per createImageInputStream call. For per-row in-memory
+  // payloads that is pure overhead (and fd churn at scale) — keep the
+  // streams in memory. Executed once per JVM on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(
       media_id: Long,
       modality: String, // image | audio | video
