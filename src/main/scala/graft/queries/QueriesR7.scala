@@ -253,6 +253,58 @@ object QueriesR7 {
       |SELECT rank, w AS term, CAST(n_true AS BIGINT) AS n_true, n_est
       |FROM ranked WHERE rank <= 40 ORDER BY rank""".stripMargin
 
+  /** HyperLogLog distinct-count sketch, driver-verified: the corpus's
+    * ASCII words fold into 256 registers
+    * ([[graft.sketch.HyperLogLog]] — 256 BYTES of state at any
+    * cardinality, element-wise-max merge so two corpora's sketches
+    * combine to the union's). The output is the full register lattice
+    * (j, r) — pure integers — and the oracle re-derives every register
+    * in SQL: the same mod-P hash family as the Count-Min oracle plus
+    * rank via `len(bin(v))` (integer bit-length, exact in both
+    * engines). The float estimate is a Scala helper over the verified
+    * registers, accuracy-checked in HyperLogLogSpec.
+    */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val words = docs
+      .select(explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")) // ASCII-only: byte fold == codepoint fold
+    words.agg(graft.sketch.HyperLogLog.sketch(col("w"), 8).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("j", "r")))
+      .select(col("j").cast("long").as("j"), col("r"))
+      .orderBy("j")
+  }
+
+  val qHllDistinctSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents),
+      |terms AS (
+      |  SELECT DISTINCT w FROM words WHERE regexp_matches(w, '^[a-z]+$')),
+      |hashed AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, len(w) + 1),
+      |      i -> CAST(unicode(w[CAST(i AS INT)]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      |  FROM terms),
+      |mx1 AS (
+      |  SELECT ((h + 2000016) % 1000000007) AS xa1,
+      |         ((h + 3000049) % 1000000007) AS xa2 FROM hashed),
+      |mx2 AS (
+      |  SELECT ((xa1 * xa1 + 204) % 1000000007) AS xb1,
+      |         ((xa2 * xa2 + 305) % 1000000007) AS xb2 FROM mx1),
+      |br AS (
+      |  SELECT ((xb1 * xb1 + xb1 + 7919) % 1000000007) % 256 AS j,
+      |         ((xb2 * xb2 + xb2 + 15838) % 1000000007) AS v
+      |  FROM mx2),
+      |ranks AS (
+      |  SELECT j, CASE WHEN v = 0 THEN 31
+      |                 ELSE 31 - len(bin(v)) END AS r FROM br),
+      |regs AS (SELECT j, MAX(r) AS r FROM ranks GROUP BY j)
+      |SELECT CAST(i.i AS BIGINT) AS j,
+      |  CAST(coalesce(regs.r, 0) AS INT) AS r
+      |FROM range(256) i(i) LEFT JOIN regs ON regs.j = i.i
+      |ORDER BY j""".stripMargin
+
   /** The arithmetic replay: resized pixel k (x = k mod 8, y = k div 8)
     * reads source pixel (x·W div 8, y·H div 6) of the generated image.
     */
