@@ -1,0 +1,84 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed order statistics and anomaly flags over grouped data —
+  * the metrics face a log pipeline grows once events carry latencies
+  * (reference: the admin API publishes EWMA speeds and per-sink
+  * counters, `lc-lib/core/util.go:27-47`; percentile/outlier reporting
+  * is the natural scale-up of that surface).
+  *
+  * Both operators are INTEGER-EXACT by construction: the percentile is
+  * the discrete (type-1) order statistic picked by pure rank
+  * arithmetic, and the z-score test is spelled as a cross-multiplied
+  * integer inequality — no floating-point division ever happens, so a
+  * SQL replay on another engine must agree bit-for-bit.
+  */
+object Stats {
+
+  /** Exact discrete percentiles per key: for each `p` (percent,
+    * 1..100) return the value whose rank `r` in the ascending per-key
+    * order satisfies `r = ceil(p·n/100)` — the classic type-1
+    * (lower-value) quantile. Spelled without division:
+    * `(r−1)·100 < p·n ≤ r·100`.
+    *
+    * Shape: ONE shuffle on the key (the rank window and the per-key
+    * count share the same partitioning, so Catalyst plans a single
+    * exchange feeding two window nodes). The percentile list rides a
+    * literal array explode — a projection, not a join. Per-key state
+    * during evaluation is the running rank, not the value set. At
+    * 100 TB the per-key sort is the irreducible cost of EXACT
+    * quantiles; when approximate suffices, swap in a sketch — this
+    * operator is the exact-answer / verification face.
+    *
+    * `tieCol` makes the ordering total so the picked ROW is
+    * deterministic; with duplicated values the picked VALUE is
+    * identical under any tie order, so the output does not depend on
+    * the tiebreak — it only pins task-level determinism.
+    */
+  def percentileDisc(df: DataFrame, keys: Seq[String], valueCol: String,
+      tieCol: String, percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100: $percentiles")
+    val rankW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    val keyW = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_rk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(keyW))
+      .withColumn("p", explode(lit(percentiles.toArray)))
+      .filter((col("_rk") - 1) * 100 < col("p") * col("n") &&
+        col("_rk") * 100 >= col("p") * col("n"))
+      .select(keys.map(col) ++ Seq(col("p"), col("n"),
+        col(valueCol).as("v")): _*)
+  }
+
+  /** Population z-score outlier flags per key, integer-exact: a bucket
+    * with measurement `x` among its key's `n` buckets (sum `s`, sum of
+    * squares `ss`) is an outlier iff `|x − mean| > t·stddev`, spelled
+    * cross-multiplied so only BIGINT arithmetic runs:
+    * `(n·x − s)² > t²·(n·ss − s²)`.
+    *
+    * Shape: one shuffle on the key; the three moments are plain window
+    * aggregates over the same partitioning (one exchange). State per
+    * key is three longs — never a value list. Zero variance ⇒ RHS = 0
+    * and LHS = 0 ⇒ not an outlier, in every engine. Overflow bound:
+    * safe while `n·max(x)² < 2⁶³/t²` — at 10⁹ events/hour per key and
+    * t = 2 that is ~40 years of buckets.
+    */
+  def zscoreFlags(counts: DataFrame, keys: Seq[String], xCol: String,
+      threshold: Int): DataFrame = {
+    val keyW = Window.partitionBy(keys.map(col): _*)
+    val x = col(xCol)
+    counts
+      .withColumn("_n", count(lit(1)).over(keyW))
+      .withColumn("_s", sum(x).over(keyW))
+      .withColumn("_ss", sum(x * x).over(keyW))
+      .withColumn("is_outlier",
+        (((col("_n") * x - col("_s")) * (col("_n") * x - col("_s"))) >
+          lit(threshold.toLong * threshold) *
+            (col("_n") * col("_ss") - col("_s") * col("_s"))).cast("int"))
+      .drop("_n", "_s", "_ss")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.stats
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("percentileDisc picks the type-1 (ceil-rank) order statistic per key") {
+    // g1: sorted values 1..10 → p50 = rank 5 = 5, p90 = rank 9 = 9, p99 = rank 10 = 10
+    // g2: a single value → every percentile is that value
+    val df = ((1 to 10).map(i => ("g1", i.toLong, i.toLong)) :+
+      (("g2", 42L, 99L))).toDF("k", "v", "tie")
+    val out = Stats.percentileDisc(df, Seq("k"), "v", "tie", Seq(50, 90, 99))
+      .select("k", "p", "v").as[(String, Int, Long)].collect().toSet
+    assert(out == Set(("g1", 50, 5L), ("g1", 90, 9L), ("g1", 99, 10L),
+      ("g2", 50, 42L), ("g2", 90, 42L), ("g2", 99, 42L)))
+  }
+
+  test("percentileDisc matches the brute-force ceil-rank definition on irregular data") {
+    val values = Seq(7L, 7L, 3L, 12L, 3L, 3L, 20L, 1L, 12L, 7L, 5L)
+    val df = values.zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("k", "v", "tie")
+    val ps = Seq(1, 25, 50, 75, 100)
+    val out = Stats.percentileDisc(df, Seq("k"), "v", "tie", ps)
+      .select("p", "v").as[(Int, Long)].collect().toMap
+    val sorted = values.sorted
+    val expect = ps.map { p =>
+      val r = math.ceil(p * sorted.size / 100.0).toInt
+      p -> sorted(r - 1)
+    }.toMap
+    assert(out == expect)
+    // every percentile emits exactly one row per key
+    assert(Stats.percentileDisc(df, Seq("k"), "v", "tie", ps).count() == ps.size)
+  }
+
+  test("zscoreFlags agrees with the floating-point z-score and handles zero variance") {
+    // a single outlier among n−1 identical values has |z| = sqrt(n−1) exactly:
+    // n=5 → z = 2.0 (the strict-'>' boundary, must NOT flag); n=6 → sqrt(5) ≈ 2.24 (flags)
+    val xs1 = Seq(10L, 10L, 10L, 10L, 100L)
+    def flags(xs: Seq[Long]): Map[Long, Int] =
+      Stats.zscoreFlags(xs.zipWithIndex.map { case (x, i) => ("k", i, x) }
+          .toDF("k", "b", "x"), Seq("k"), "x", threshold = 2)
+        .select("b", "is_outlier").as[(Int, Int)].collect()
+        .map { case (b, f) => xs(b) -> f }.toMap
+    val f1 = flags(xs1)
+    assert(f1.values.forall(_ == 0)) // |z| exactly 2 → strict inequality → no flag
+    val xs2 = Seq(10L, 10L, 10L, 10L, 10L, 100L)
+    val f2 = flags(xs2)
+    assert(f2(100L) == 1 && f2(10L) == 0)
+    // cross-check against the float spelling for every bucket
+    val n = xs2.size.toDouble
+    val mean = xs2.sum / n
+    val sd = math.sqrt(xs2.map(x => (x - mean) * (x - mean)).sum / n)
+    xs2.distinct.foreach { x =>
+      assert((f2(x) == 1) == (math.abs((x - mean) / sd) > 2.0), s"x=$x")
+    }
+    // zero variance: nothing flags, no division-by-zero anywhere
+    assert(flags(Seq(5L, 5L, 5L)).values.forall(_ == 0))
+  }
+
+  test("percentileDisc plans ONE exchange for the rank and count windows (parquet-backed)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      .filter(col("kv").isNotNull)
+    val out = Stats.percentileDisc(ev, Seq("event_type"), "kv", "event_id",
+      Seq(50, 90, 99))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one key exchange, plan:\n$plan")
+    assert(!plan.contains("Join"), "no join may appear")
+    assert(out.count() > 0)
+  }
+}
