@@ -105,6 +105,19 @@ object PlanDump {
     // aggregate (map-side merge before the one key shuffle)
     dump("q_range_join", graft.queries.QueriesR7.qRangeJoin(s, dir))
     dump("q_sessionize", graft.queries.QueriesR7.qSessionize(s, dir))
+    // round-7b surfaces: rollup must be ONE Expand feeding the grouping
+    // aggregate (no per-level rescan); rate_windows' sliding TimeWindow
+    // must be a projection-side Expand (never a range join); the
+    // percentile/zscore windows must each ride ONE key exchange;
+    // inverted index must reuse the term partitioning between its
+    // window and group (two key exchanges total before the bounded
+    // rank); PMI must be equi-joins only (no cartesian)
+    dump("q_rollup_metrics", graft.queries.QueriesR7b.qRollupMetrics(s, dir))
+    dump("q_rate_windows", graft.queries.QueriesR7b.qRateWindows(s, dir))
+    dump("q_percentile_latency", graft.queries.QueriesR7b.qPercentileLatency(s, dir))
+    dump("q_zscore_outliers", graft.queries.QueriesR7b.qZscoreOutliers(s, dir))
+    dump("q_inverted_index", graft.queries.QueriesR7b.qInvertedIndex(s, dir))
+    dump("q_pmi_collocations", graft.queries.QueriesR7b.qPmiCollocations(s, dir))
     s.stop()
   }
 }
