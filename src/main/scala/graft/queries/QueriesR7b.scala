@@ -71,6 +71,55 @@ object QueriesR7b {
       |FROM slots GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** STREAMING tumbling-window rates, driver-verified: the 1-hour
+    * per-type counts computed as a REAL Structured-Streaming job —
+    * time-range-partitioned source files (file order == time order, so
+    * nothing is watermark-late), `maxFilesPerTrigger`-bounded
+    * micro-batches, a 30-minute watermark, APPEND mode (a window is
+    * emitted exactly once, when the watermark proves it closed). A
+    * far-future sentinel per type pushes the final watermark past
+    * every real window; sentinel windows are dropped by timestamp and
+    * the committed output must equal the one-statement batch oracle —
+    * if micro-batch boundaries could split, duplicate, or drop a
+    * window, the hash breaks. Streaming state is the open-window
+    * accumulators only, bounded by the watermark horizon.
+    */
+  def qStreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0) // bounded: one scalar
+    val cutoffSec = (maxTs.getTime + 24L * 3600 * 1000) / 1000
+    val sentinels = ev.select(col("event_type")).distinct()
+      .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_windows")
+    ev.unionByName(sentinels).repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$base/src")
+    val query = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("long").as("w_start"), col("event_type"),
+        col("n_events"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .filter(col("w_start") < cutoffSec) // drop the sentinel windows
+      .orderBy("w_start", "event_type")
+  }
+
+  val qStreamWindowsSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS w_start, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
   /** Exact discrete percentiles per event type, driver-verified: p50 /
     * p90 / p99 of the integer `props.k` payload via
     * [[graft.stats.Stats.percentileDisc]] — rank arithmetic only

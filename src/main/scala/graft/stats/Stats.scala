@@ -54,6 +54,94 @@ object Stats {
         col(valueCol).as("v")): _*)
   }
 
+  /** [[percentileDisc]]'s scale path for LOW-CARDINALITY keys: the
+    * window spelling sorts each key on ONE reducer, so five event
+    * types means five tasks no matter how many executors exist. This
+    * variant range-partitions on `(keys, value, tie)` — the sort
+    * spreads over ALL `partitions` tasks even for a single key — then
+    * runs the classic two-pass distributed selection:
+    *
+    *  1. per-(partition, key) counts (a bounded collect: at most
+    *     `partitions + distinct keys` rows, because range partitioning
+    *     puts each key in a contiguous partition run);
+    *  2. the driver turns counts into per-partition pick lists
+    *     (global rank `ceil(p·n/100)` → owning partition + local
+    *     rank), and one `mapPartitionsWithIndex` walk emits exactly
+    *     the picked rows — no second shuffle, no per-key reducer.
+    *
+    * Both passes re-execute the same deterministic lineage (Spark's
+    * RangePartitioner samples with a fixed per-partition seed), so
+    * they see identical partition boundaries and row order; the
+    * result is EXACTLY [[percentileDisc]]'s (spec-pinned equal). Two
+    * scans of the input is the price of not persisting it — the right
+    * trade at 100 TB.
+    */
+  def percentileDiscDistributed(df: DataFrame, keys: Seq[String],
+      valueCol: String, tieCol: String, percentiles: Seq[Int],
+      partitions: Int): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in 1..100: $percentiles")
+    require(partitions >= 1)
+    val spark = df.sparkSession
+    val sortCols = (keys :+ valueCol :+ tieCol).map(col)
+    val parted = df.select((keys :+ valueCol :+ tieCol).map(col): _*)
+      .repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val keyOf = (r: org.apache.spark.sql.Row) =>
+      keys.indices.map(r.get).toList
+    // pass 1 — bounded by construction: contiguous key runs mean the
+    // per-partition key census has ~partitions + |keys| entries total
+    val census: Array[(Int, List[Any], Long)] = parted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[List[Any], Long]
+        it.foreach { r => val k = keyOf(r); m.update(k, m.getOrElse(k, 0L) + 1L) }
+        m.iterator.map { case (k, c) => (pid, k, c) }
+      }.collect()
+    // driver: per-key totals and partition offsets → pick lists
+    val totals = census.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._3).sum }
+    // picks(pid) = (key, localRank) -> (p, n)
+    val picks = scala.collection.mutable.Map
+      .empty[Int, Map[(List[Any], Long), List[(Int, Long)]]]
+      .withDefaultValue(Map.empty)
+    for ((k, n) <- totals; p <- percentiles) {
+      val r = (p.toLong * n + 99L) / 100L // ceil(p·n/100)
+      var acc = 0L
+      val owner = census.filter(_._2 == k).sortBy(_._1).iterator
+        .map { case (pid, _, c) => val lo = acc; acc += c; (pid, lo, acc) }
+        .find { case (_, lo, hi) => lo < r && r <= hi }.get
+      val (pid, lo, _) = owner
+      val key = (k, r - lo)
+      val cur = picks(pid)
+      picks(pid) = cur + (key -> ((p, n) :: cur.getOrElse(key, Nil)))
+    }
+    val bc = spark.sparkContext.broadcast(picks.toMap)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      parted.schema.take(keys.size) ++ Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        parted.schema(keys.size).copy(name = "v")))
+    // pass 2: same lineage, same boundaries — emit the picked rows
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val want = bc.value.getOrElse(pid, Map.empty)
+      if (want.isEmpty) Iterator.empty
+      else {
+        val counters = scala.collection.mutable.Map.empty[List[Any], Long]
+        it.flatMap { r =>
+          val k = keyOf(r)
+          val rk = counters.getOrElse(k, 0L) + 1L
+          counters.update(k, rk)
+          want.getOrElse((k, rk), Nil).map { case (p, n) =>
+            org.apache.spark.sql.Row.fromSeq(
+              keys.indices.map(r.get) ++ Seq(p, n, r.get(keys.size)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Population z-score outlier flags per key, integer-exact: a bucket
     * with measurement `x` among its key's `n` buckets (sum `s`, sum of
     * squares `ss`) is an outlier iff `|x − mean| > t·stddev`, spelled

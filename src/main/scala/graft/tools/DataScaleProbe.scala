@@ -52,6 +52,22 @@ object DataScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** Replicated events: fresh user/event ids per replica (key count
+    * grows with the data — the realistic regime for per-key windows),
+    * timestamps unchanged (the time axis is the workload's fixed
+    * dimension; replicas add TRAFFIC, not history).
+    */
+  def scaledEvents(spark: SparkSession, sfDir: String, scale: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until scale).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("event_id") + k * 100000000L).as("event_id"), col("ts"),
+        (col("user_id") + k * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scales = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4, 16)
@@ -72,6 +88,9 @@ object DataScaleProbe {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/embeddings.parquet/_SUCCESS")))
         scaledEmbeddings(s, sfDir, k).repartition(32)
           .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/events.parquet/_SUCCESS")))
+        scaledEvents(s, sfDir, k).repartition(32)
+          .write.mode("overwrite").parquet(s"$root/events.parquet")
       k -> root
     }
 
@@ -136,6 +155,35 @@ object DataScaleProbe {
       // checkpoint; the machinery is per-run fixed cost, state ~32 B/doc
       "q_stream_dedup" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR6.qStreamDedup(s, d)),
+      // r7b: rollup's Expand is ×3 rows pre-aggregate (linear with a
+      // constant); TimeWindow's Expand is ×2; percentile's per-key sort
+      // is n log n over a FIXED key set (the low-cardinality-key regime
+      // — time stays near-linear but parallelism is capped at the key
+      // count, the documented reason the range-partitioned selection
+      // path exists); zscore/inverted/PMI are bounded aggs + equi-joins
+      "q_rollup_metrics" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qRollupMetrics(s, d)),
+      "q_rate_windows" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qRateWindows(s, d)),
+      "q_percentile_latency" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qPercentileLatency(s, d)),
+      "q_zscore_outliers" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qZscoreOutliers(s, d)),
+      // the same exact percentiles via the two-pass range-partitioned
+      // selection: per-key time should flatten vs the window spelling
+      // once per-key volume outgrows the 5-reducer sort
+      "q_percentile (range-sel)" -> ((s: SparkSession, d: String, _: Int) => {
+        val ev = s.read.parquet(s"$d/events.parquet")
+          .select(col("event_type"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("kv"))
+          .filter(col("kv").isNotNull)
+        graft.stats.Stats.percentileDiscDistributed(ev, Seq("event_type"),
+          "kv", "event_id", Seq(50, 90, 99), partitions = 32)
+      }),
+      "q_inverted_index" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qInvertedIndex(s, d)),
+      "q_pmi_collocations" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qPmiCollocations(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

@@ -59,6 +59,26 @@ class StatsSpec extends SparkTestBase {
     assert(flags(Seq(5L, 5L, 5L)).values.forall(_ == 0))
   }
 
+  test("percentileDiscDistributed equals percentileDisc on skewed low-cardinality keys") {
+    // 2 keys, one 50× heavier — the regime where the window spelling
+    // serialises onto 2 reducers and the range-partitioned path must not
+    val rows = (1 to 5000).map(i => ("hot", ((i * 2654435761L) % 997).toLong, i.toLong)) ++
+      (1 to 100).map(i => ("cold", (i % 13).toLong, (10000 + i).toLong))
+    val df = rows.toDF("k", "v", "tie")
+    val ps = Seq(1, 50, 95, 99, 100)
+    val a = Stats.percentileDisc(df, Seq("k"), "v", "tie", ps)
+      .select("k", "p", "n", "v").as[(String, Int, Long, Long)].collect().toSet
+    val b = Stats.percentileDiscDistributed(df, Seq("k"), "v", "tie", ps,
+        partitions = 16)
+      .select("k", "p", "n", "v").as[(String, Int, Long, Long)].collect().toSet
+    assert(b == a)
+    assert(a.size == 2 * ps.size)
+    // the selection genuinely spread: more partitions than keys
+    val parted = df.select("k", "v", "tie").repartitionByRange(16,
+      col("k"), col("v"), col("tie"))
+    assert(parted.rdd.getNumPartitions > 2)
+  }
+
   test("percentileDisc plans ONE exchange for the rank and count windows (parquet-backed)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_type"), col("event_id"),
