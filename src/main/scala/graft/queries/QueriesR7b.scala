@@ -262,4 +262,22 @@ object QueriesR7b {
       |  FROM scored)
       |SELECT rank, w1, w2, c_xy, c_x, c_y, CAST(score AS BIGINT) AS score
       |FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** BPE tokenizer training, driver-verified: the first 8 merge rules
+    * learned over the corpus ([[graft.text.BpeTrainer]] — ONE
+    * corpus-sized job builds word frequencies, every merge round runs
+    * on the bounded VOCABULARY relation, exactly the industrial
+    * trainer shape). The oracle UNROLLS all 8 pair-count → argmax →
+    * rewrite rounds as a chained CTE lattice, so the learned merge
+    * sequence — pairs, order, frequency-weighted counts, lexicographic
+    * tie-breaks, left-to-right overlapping-run convention — must match
+    * bit-for-bit across two independent implementations.
+    */
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.text.BpeTrainer.learnMerges(docs, "text", numMerges = 8)
+      .orderBy("rank")
+  }
+
+  val qBpeMergesSql: String = graft.text.BpeTrainer.oracleSql(8)
 }

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+  * tokenizer-training step of an LLM data pipeline, shaped the way
+  * industrial trainers shape it: ONE corpus scan builds the
+  * word-frequency table, and every merge iteration runs on that
+  * VOCABULARY relation (bounded by distinct words, not corpus size).
+  * At 100 TB the corpus scan is the only corpus-sized job; the K merge
+  * rounds are K small distributed aggregations over the vocab.
+  *
+  * Segmentations are space-padded symbol strings (`" c a t "`), and a
+  * merge of pair (x, y) is a plain left-to-right non-overlapping
+  * `replace(seg, " x y ", " xy ")` — the padding makes symbol
+  * boundaries explicit, and sequential replace reproduces the
+  * reference regex `(?<!\S)x y(?!\S)` convention on overlapping runs
+  * (`" a a a "` → `" aa a "`). Pair counts are frequency-weighted and
+  * count BOTH adjacencies of an overlapping run, exactly like the
+  * reference counter. Ties break deterministically: count desc, then
+  * (x, y) lexicographic — so the merge sequence is a pure function of
+  * the corpus and every engine replaying the rule agrees bit-for-bit.
+  */
+object BpeTrainer {
+
+  /** Learn the first `numMerges` merges over `textCol`, whitespace-
+    * tokenised, ASCII-lowercase words only (byte fold == codepoint
+    * fold for SQL replays). Output: `rank, a, b, merged, cnt` — one
+    * row per merge in learned order; stops early if no pair remains.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64, s"numMerges out of range: $numMerges")
+    val spark = docs.sparkSession
+    // the one corpus-sized job: word frequencies
+    val vocab0 = docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("f"))
+    // iterations run on the vocab relation; persist the base so the
+    // replace chain re-derives from memory, not from the corpus
+    vocab0.persist()
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var exhausted = false
+    while (i < numMerges && !exhausted) {
+      val top = vocab
+        .select(col("f"), split(trim(col("seg")), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("f"), explode(expr(
+          "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)," +
+            " (x, y) -> named_struct('a', x, 'b', y))")).as("p"))
+        .groupBy("p.a", "p.b").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // bounded: one row
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i + 1, a, b, cnt))
+        vocab = vocab.withColumn("seg",
+          expr(s"replace(seg, ' $a $b ', ' $a$b ')"))
+        i += 1
+      }
+    }
+    vocab0.unpersist()
+    import spark.implicits._
+    merges.toList.toDF("rank", "a", "b", "cnt")
+      .select(col("rank"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt"))
+  }
+
+  /** The SQL replay: the same word-frequency table, then `numMerges`
+    * UNROLLED pair-count → argmax → rewrite rounds as a chained CTE
+    * lattice (recursive CTEs cannot aggregate per SQL rules, so the
+    * loop is spelled out). Every round's winning pair and count must
+    * match [[learnMerges]] bit-for-bit.
+    */
+  def oracleSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wf AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+             |    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+             |    FROM documents)
+             |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w),
+             |v0 AS (
+             |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg, f
+             |  FROM wf)""".stripMargin
+    for (i <- 1 to numMerges) {
+      sb ++= s""",
+                |p$i AS (
+                |  SELECT toks[CAST(k AS INT)] AS a, toks[CAST(k + 1 AS INT)] AS b,
+                |    CAST(SUM(f) AS BIGINT) AS cnt
+                |  FROM (SELECT f, string_split(trim(seg), ' ') AS toks FROM v${i - 1}),
+                |    unnest(range(1, len(toks))) AS r(k)
+                |  GROUP BY 1, 2),
+                |m$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+                |v$i AS (
+                |  SELECT replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                |                      ' ' || m.a || m.b || ' ') AS seg, f
+                |  FROM v${i - 1}, m$i m)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to numMerges).map { i =>
+      s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
+}
