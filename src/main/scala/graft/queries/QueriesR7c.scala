@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 additions, third batch: the tokenizer's ENCODE face plus
+  * three classic event-analytics operators (funnel, cohort retention,
+  * bucket densification) — the reporting surface a log pipeline's
+  * consumers run on top of the routed events.
+  */
+object QueriesR7c {
+
+  /** BPE encode, driver-verified: learn 8 merges
+    * ([[graft.text.BpeTrainer.learnMerges]]), then tokenize every
+    * document with them ([[BpeTrainer.tokenCounts]] — the merges ride
+    * the plan as a literal replace chain over exploded words, fully
+    * whole-stage-codegen'd, and the per-document re-aggregation
+    * collapses map-side: the 100 TB shape, since encode runs on every
+    * document while training is rare). The oracle
+    * RE-LEARNS the merges with the unrolled CTE lattice and re-applies
+    * them in SQL, so training and application must BOTH agree —
+    * per-document, bit-for-bit.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // bounded collect: 8 merge rows — the learned tokenizer IS the
+    // plan state, exactly like a shipped tokenizer.json
+    val merges = graft.text.BpeTrainer.learnMerges(docs, "text", numMerges = 8)
+      .orderBy("rank").select("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.text.BpeTrainer.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  val qBpeEncodeSql: String = graft.text.BpeTrainer.encodeOracleSql(8)
+
+  /** Funnel analysis, driver-verified: strictly-ordered
+    * view → click → purchase progression per user (a later-stage event
+    * counts only at-or-after the user's earliest previous-stage
+    * event). Each stage is one filter + user-key equi-join + min
+    * aggregate — bounded relations (one row per user), no windows over
+    * raw events, no self-join of the full table. The oracle replays
+    * the chain with independent SQL joins; timestamps compare at full
+    * microsecond precision.
+    */
+  def qFunnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("stage"), lit("view").as("name"), col("n_users"))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit(2).as("stage"), lit("click_after_view").as("name"),
+          col("n_users")))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit(3).as("stage"), lit("purchase_after_click").as("name"),
+          col("n_users")))
+      .orderBy("stage")
+  }
+
+  val qFunnelStagesSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT 1 AS stage, 'view' AS name, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |UNION ALL
+      |SELECT 2, 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+
+  /** Cohort retention, driver-verified: users grouped by first-seen
+    * day, distinct active users per (cohort, day-offset) — the classic
+    * retention triangle. One user-key aggregate builds the cohort
+    * table (one row per user), one equi-join tags events, one
+    * count-distinct aggregate builds the matrix; day arithmetic is
+    * pure integer division.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val qCohortRetentionSql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |FROM d JOIN cohort c ON d.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Time-bucket densification, driver-verified: the per-(type, hour)
+    * count series with MISSING HOURS filled as explicit zeros — what
+    * every dashboard/anomaly consumer needs (a gap and a zero are
+    * different facts). The grid is types × hour range — a generated
+    * relation bounded by the series shape, never a scan; counts join
+    * in by equi-key. The global bounds are one scalar collect.
+    */
+  def qDensifyBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hr"))
+    val counts = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+    val b = ev.agg(min(col("hr")), max(col("hr"))).head // bounded: two longs
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    ev.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(expr(s"sequence(${lo}L, ${hi}L)")).as("hr"))
+      .join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hr")
+  }
+
+  val qDensifyBucketsSql: String =
+    """WITH c AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT min(epoch_us(ts) // 3600000000) AS lo,
+      |         max(epoch_us(ts) // 3600000000) AS hi FROM events),
+      |g AS (
+      |  SELECT t.event_type, unnest(range(b.lo, b.hi + 1)) AS hr
+      |  FROM (SELECT DISTINCT event_type FROM events) t, b)
+      |SELECT g.event_type, CAST(g.hr AS BIGINT) AS hr,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.hr = g.hr
+      |ORDER BY g.event_type, g.hr""".stripMargin
+}

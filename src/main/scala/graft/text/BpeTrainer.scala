@@ -72,6 +72,38 @@ object BpeTrainer {
         concat(col("a"), col("b")).as("merged"), col("cnt"))
   }
 
+  /** The APPLY face: tokenize with an already-learned merge list —
+    * the shape that actually runs at 100 TB (training is rare, encode
+    * is every-document). The merges ride the plan as a literal replace
+    * chain over exploded words — plain string expressions, so the
+    * whole per-word lattice stays inside WHOLE-STAGE CODEGEN (a
+    * higher-order-function fold would evaluate interpreted — Spark
+    * HOF lambdas are CodegenFallback), and the per-document
+    * re-aggregation collapses map-side: a document's words are
+    * consecutive after the Generate, so the one exchange carries ~one
+    * partial row per document, not per word. `explode_outer` keeps
+    * zero-ASCII-word documents in the output with (0, 0) counts.
+    * Per-word segmentation is byte-identical to training's
+    * (`" c a t "` padding, sequential left-to-right replaces in merge
+    * order).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.forall { case (a, b) =>
+      a.matches("^[a-z]+$") && b.matches("^[a-z]+$") }, "non-ASCII merge symbol")
+    val seg = merges.foldLeft(
+      "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (e, (a, b)) =>
+      s"replace($e, ' $a $b ', ' $a$b ')"
+    }
+    docs.select(col(idCol),
+        explode_outer(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .select(col(idCol), col("w").rlike("^[a-z]+$").as("isw"),
+        expr(s"size(split(trim($seg), ' '))").cast("long").as("ntok"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("isw"), 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("isw"), col("ntok")).otherwise(0L)).as("n_tokens"))
+  }
+
   /** The SQL replay: the same word-frequency table, then `numMerges`
     * UNROLLED pair-count → argmax → rewrite rounds as a chained CTE
     * lattice (recursive CTEs cannot aggregate per SQL rules, so the
@@ -106,6 +138,39 @@ object BpeTrainer {
     sb ++= (1 to numMerges).map { i =>
       s"SELECT $i AS rank, a, b, a || b AS merged, cnt FROM m$i"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
+
+  /** SQL replay of the ENCODE face: re-learn the merges with the same
+    * CTE lattice as [[oracleSql]], then re-apply all of them to every
+    * document's words and emit per-document word/token counts. One
+    * statement retrains AND re-tokenizes — agreement means training
+    * and application both match.
+    */
+  def encodeOracleSql(numMerges: Int): String = {
+    val train = oracleSql(numMerges)
+    val trainCtes = train.substring(0, train.indexOf("\nSELECT 1 AS rank"))
+    val sb = new StringBuilder(trainCtes)
+    sb ++= """,
+             |enc0 AS (
+             |  SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg
+             |  FROM (
+             |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+             |    FROM documents)
+             |  WHERE regexp_matches(w, '^[a-z]+$'))""".stripMargin
+    for (i <- 1 to numMerges) {
+      sb ++= s""",
+                |enc$i AS (
+                |  SELECT doc_id, replace(seg, ' ' || m.a || ' ' || m.b || ' ',
+                |                              ' ' || m.a || m.b || ' ') AS seg
+                |  FROM enc${i - 1}, m$i m)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT d.doc_id,
+              |  CAST(count(e.seg) AS BIGINT) AS n_words,
+              |  CAST(coalesce(SUM(len(string_split(trim(e.seg), ' '))), 0) AS BIGINT) AS n_tokens
+              |FROM documents d LEFT JOIN enc$numMerges e ON e.doc_id = d.doc_id
+              |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     sb.toString
   }
 }

@@ -118,6 +118,14 @@ object PlanDump {
     dump("q_zscore_outliers", graft.queries.QueriesR7b.qZscoreOutliers(s, dir))
     dump("q_inverted_index", graft.queries.QueriesR7b.qInvertedIndex(s, dir))
     dump("q_pmi_collocations", graft.queries.QueriesR7b.qPmiCollocations(s, dir))
+    // bpe encode must be ONE codegen projection over the scan (merges
+    // as replace-chain literals, no join/shuffle before the
+    // presentation orderBy); funnel stages are bounded user-keyed
+    // aggregates joined by key; densify's grid is a generated relation
+    dump("q_bpe_encode", graft.queries.QueriesR7c.qBpeEncode(s, dir))
+    dump("q_funnel_stages", graft.queries.QueriesR7c.qFunnelStages(s, dir))
+    dump("q_cohort_retention", graft.queries.QueriesR7c.qCohortRetention(s, dir))
+    dump("q_densify_buckets", graft.queries.QueriesR7c.qDensifyBuckets(s, dir))
     s.stop()
   }
 }
