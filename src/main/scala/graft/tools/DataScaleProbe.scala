@@ -184,6 +184,13 @@ object DataScaleProbe {
         graft.queries.QueriesR7b.qInvertedIndex(s, d)),
       "q_pmi_collocations" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7b.qPmiCollocations(s, d)),
+      // BPE: training's merge loop runs on the VOCAB relation — only
+      // the word-frequency scan should grow; encode is one exploded
+      // codegen pass + map-side-collapsed agg
+      "q_bpe_merges" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7b.qBpeMerges(s, d)),
+      "q_bpe_encode" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qBpeEncode(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {
