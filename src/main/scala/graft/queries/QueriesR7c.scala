@@ -151,4 +151,37 @@ object QueriesR7c {
       |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
       |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.hr = g.hr
       |ORDER BY g.event_type, g.hr""".stripMargin
+
+  /** Scalar int8 quantization of the embedding corpus, driver-verified
+    * ([[graft.sim.Quantize]] — the FAISS-SQ8 storage face): train
+    * per-dimension `[min, max]` in one scan (dimension-bounded stats =
+    * plan state), then encode every vector in a ZERO-SHUFFLE
+    * whole-stage-codegen projection. Output is the comma-joined code
+    * string — all 64 codes of every vector are byte-exact against the
+    * oracle, which re-derives the stats AND re-quantizes in SQL. The
+    * `floor`-based affine map has no rounding-tie convention to
+    * diverge on cross-engine (see the [[graft.sim.Sq8Codes]] contract).
+    */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (mins, maxs) = graft.sim.Quantize.sq8Train(emb, "embedding", dim = 64)
+    emb.select(col("vec_id"),
+        graft.sim.Quantize.sq8(col("embedding"), mins, maxs, asString = true)
+          .as("codes"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedQuantizeSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+      |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+      |codes AS (
+      |  SELECT vec_id, ex.dim,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(least(255, floor((x - mn) / (mx - mn) * 256)) AS INT)
+      |    END AS code
+      |  FROM ex JOIN s USING (dim))
+      |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes
+      |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -191,6 +191,17 @@ object DataScaleProbe {
         graft.queries.QueriesR7b.qBpeMerges(s, d)),
       "q_bpe_encode" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qBpeEncode(s, d)),
+      // event-analytics trio: funnel = per-stage user-key aggregates +
+      // equi-joins (stage relations one-row-per-user); cohort = one
+      // user-key min + one (cohort, offset) count-distinct; densify's
+      // grid is bounded by series shape (types × hours), never a scan —
+      // all three should stay near-linear in events
+      "q_funnel_stages" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qFunnelStages(s, d)),
+      "q_cohort_retention" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qCohortRetention(s, d)),
+      "q_densify_buckets" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qDensifyBuckets(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

@@ -126,6 +126,10 @@ object PlanDump {
     dump("q_funnel_stages", graft.queries.QueriesR7c.qFunnelStages(s, dir))
     dump("q_cohort_retention", graft.queries.QueriesR7c.qCohortRetention(s, dir))
     dump("q_densify_buckets", graft.queries.QueriesR7c.qDensifyBuckets(s, dir))
+    // sq8 encode must be ONE codegen projection over the scan (stats as
+    // reference-object plan state; the only exchange is the presentation
+    // orderBy — the training pass is a separate dimension-bounded job)
+    dump("q_embed_quantize", graft.queries.QueriesR7c.qEmbedQuantize(s, dir))
     s.stop()
   }
 }
