@@ -202,6 +202,10 @@ object DataScaleProbe {
         graft.queries.QueriesR7c.qCohortRetention(s, d)),
       "q_densify_buckets" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qDensifyBuckets(s, d)),
+      // sq8: train (one dimension-bounded scan) + encode (zero-shuffle
+      // codegen projection) — both linear in corpus rows by shape
+      "q_embed_quantize" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qEmbedQuantize(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {
