@@ -184,4 +184,57 @@ object QueriesR7c {
       |  FROM ex JOIN s USING (dim))
       |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes
       |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Power-iteration rounds for the PCA oracle — enough for the
+    * dominant direction to stabilise on the test corpus; the oracle
+    * replays exactly this many, so correctness is iteration-exact
+    * regardless.
+    */
+  val PcaIters = 6
+
+  /** Dominant-component projection, driver-verified
+    * ([[graft.sim.Pca]] — the "all-but-the-top" embedding
+    * post-processing primitive): ONE corpus scan folds the exact
+    * quantized Gram matrix (4096-long constant state,
+    * `TypedImperativeAggregate`), power iteration runs in BigInt on
+    * the collected 64×64 matrix, and every vector's EXACT integer
+    * projection onto the learned direction is a zero-shuffle codegen
+    * pass. The oracle re-derives the Gram, unrolls all
+    * [[PcaIters]] integer power-iteration rounds as chained CTEs over
+    * HUGEINT, and recomputes every projection — bit-for-bit, no
+    * floats anywhere.
+    */
+  def qPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // bounded collect: one 64×64 long lattice — model state
+    val g = graft.sim.Pca.gram(emb, "embedding", dim = 64)
+    val v = graft.sim.Pca.dominantDirection(g, dim = 64, iters = PcaIters)
+    emb.select(col("vec_id"),
+        graft.sim.Pca.project(col("embedding"), v).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  val qPcaProjectSql: String = {
+    val rounds = (1 to PcaIters).map { k =>
+      val pv = s"v${k - 1}"
+      s"""w$k AS (SELECT g.i AS dim, sum(g.gv * $pv.v) AS w
+         |  FROM g JOIN $pv ON g.j = $pv.dim GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS (SELECT dim, CASE WHEN m.m = 0 THEN w
+         |    ELSE sign(w)::HUGEINT * ((abs(w) * 10000) // m.m) END AS v
+         |  FROM w$k, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, i AS dim,
+       |    CAST(floor(embedding[i]::DOUBLE * 10000) AS BIGINT) AS qv
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
+       |g AS (
+       |  SELECT a.dim AS i, b.dim AS j, sum(a.qv * b.qv) AS gv
+       |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT dim, 1::HUGEINT AS v FROM q),
+       |$rounds
+       |SELECT q.vec_id, CAST(sum(q.qv * vN.v) AS BIGINT) AS proj
+       |FROM q JOIN v$PcaIters vN ON q.dim = vN.dim
+       |GROUP BY 1 ORDER BY vec_id""".stripMargin
+  }
 }

@@ -206,6 +206,10 @@ object DataScaleProbe {
       // codegen projection) — both linear in corpus rows by shape
       "q_embed_quantize" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qEmbedQuantize(s, d)),
+      // pca: gram scan is the only corpus-sized job (constant 4096-long
+      // state); iteration + projection are corpus-independent
+      "q_pca_project" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qPcaProject(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

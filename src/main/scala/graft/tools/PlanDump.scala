@@ -130,6 +130,9 @@ object PlanDump {
     // reference-object plan state; the only exchange is the presentation
     // orderBy — the training pass is a separate dimension-bounded job)
     dump("q_embed_quantize", graft.queries.QueriesR7c.qEmbedQuantize(s, dir))
+    // pca projection: same contract — the gram/power-iteration model is
+    // plan state; the per-vector pass is one codegen projection
+    dump("q_pca_project", graft.queries.QueriesR7c.qPcaProject(s, dir))
     s.stop()
   }
 }
