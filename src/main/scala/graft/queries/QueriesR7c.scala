@@ -237,4 +237,49 @@ object QueriesR7c {
        |FROM q JOIN v$PcaIters vN ON q.dim = vN.dim
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
   }
+
+  /** Hard-negative mining, driver-verified
+    * ([[graft.sim.Ann.hardNegatives]] — contrastive-training data prep):
+    * per query vector, the top-5 most-similar corpus vectors with a
+    * DIFFERENT label, through the IVF cell machinery (untrained
+    * first-16 quantizer, nprobe 4 — the [[QueriesML.qAnnIvf]]
+    * composition plus the label-mismatch predicate). The oracle
+    * replays assignment, label filter, cosine and ranking
+    * independently.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centRows = emb.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect() // bounded: the 16-row coarse quantizer
+    graft.sim.Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray),
+      nprobe = 4, idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+      .orderBy("query_id", "rank")
+  }
+
+  val qHardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+      |corpus_assign AS (
+      |  SELECT vec_id, label, v, cent_id FROM (
+      |    SELECT e.vec_id, e.label, e.v, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+      |    FROM e CROSS JOIN cents c) WHERE rk = 1),
+      |query_assign AS (
+      |  SELECT vec_id AS query_id, label AS q_label, v AS qvec, cent_id FROM (
+      |    SELECT e.vec_id, e.label, e.v, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+      |    FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rk <= 4),
+      |sims AS (SELECT q.query_id, ca.vec_id AS neighbor_id, ca.label AS neg_label,
+      |    list_cosine_similarity(q.qvec, ca.v) AS sim
+      |  FROM query_assign q JOIN corpus_assign ca USING (cent_id)
+      |  WHERE ca.vec_id != q.query_id AND ca.label != q.q_label),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, neighbor_id) AS rank FROM sims)
+      |SELECT query_id, rank, neighbor_id, neg_label, round(sim, 4) AS sim
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -304,6 +304,39 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query vector, the `k` most-similar corpus vectors with a DIFFERENT
+    * label — the candidates that teach a model the most (high-similarity
+    * wrong-class pairs). Same scale shape as [[ivfTopKWith]]: zero-shuffle
+    * fused cell assignment, candidates bounded to the probed cells, one
+    * cent_id equi-join; the label-mismatch predicate rides the join
+    * output BEFORE the cosine/rank work, so same-label candidates cost
+    * one integer comparison, not a cosine.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      centIds: Array[Long], centVecs: Array[Array[Double]], nprobe: Int,
+      idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    def cells(vec: Column, probes: Int): Column =
+      EU.column(NearestCells(EU.expression(vec), centIds, centVecs, probes))
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"),
+        col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("cent_id", element_at(cells(col("nvec"), 1), 1))
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("cent_id", explode(cells(col("qvec"), nprobe)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    corpusCells.join(queryCells, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neg_label") =!= col("q_label"))
+      .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic distributed spherical k-means over an embedding column
     * — the clustering primitive behind SemDeDup-style semantic dedup and
     * a TRAINED coarse quantizer for [[ivfTopK]]-style probing (the

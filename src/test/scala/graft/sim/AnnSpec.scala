@@ -420,6 +420,35 @@ class AnnSpec extends SparkTestBase {
     assert(one.map(_.toSeq).toSeq == sequential.map(_.toSeq).toSeq)
   }
 
+  test("hardNegatives: never a same-label neighbor, never self, ranked by sim within the probed cells") {
+    val labels: Map[Long, Int] =
+      emb.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val centRows = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+    val got = Ann.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray),
+      nprobe = 4, idCol = "vec_id", vecCol = "embedding", labelCol = "label")
+      .collect()
+    assert(got.nonEmpty)
+    val byQuery = got.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      rows.foreach { r =>
+        val neighbor = r.getLong(2)
+        assert(neighbor != q, s"self negative for $q")
+        assert(labels(neighbor) != labels(q),
+          s"same-label negative $neighbor for query $q")
+        assert(r.getInt(3) == labels(neighbor), "neg_label column matches corpus")
+      }
+      // ranks are 1..n and similarity is non-increasing in rank
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rows.length))
+      val sims = sorted.map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("kmeans guards: farthest init never duplicates seeds; ragged vectors fail loudly") {
     import spark.implicits._
     // 2 distinct vectors, k = 3: must FAIL like init="first", not
