@@ -214,7 +214,11 @@ object QueriesR7c {
       .orderBy("vec_id")
   }
 
-  val qPcaProjectSql: String = {
+  /** The shared oracle chain: quantize → exact gram → unrolled integer
+    * power-iteration rounds, ending with the `v{PcaIters}` CTE (no
+    * trailing comma).
+    */
+  private def pcaChainSql: String = {
     val rounds = (1 to PcaIters).map { k =>
       val pv = s"v${k - 1}"
       s"""w$k AS (SELECT g.i AS dim, sum(g.gv * $pv.v) AS w
@@ -224,7 +228,7 @@ object QueriesR7c {
          |    ELSE sign(w)::HUGEINT * ((abs(w) * 10000) // m.m) END AS v
          |  FROM w$k, m$k m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id, i AS dim,
        |    CAST(floor(embedding[i]::DOUBLE * 10000) AS BIGINT) AS qv
        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)),
@@ -232,11 +236,51 @@ object QueriesR7c {
        |  SELECT a.dim AS i, b.dim AS j, sum(a.qv * b.qv) AS gv
        |  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
        |v0 AS (SELECT DISTINCT dim, 1::HUGEINT AS v FROM q),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qPcaProjectSql: String =
+    s"""WITH $pcaChainSql
        |SELECT q.vec_id, CAST(sum(q.qv * vN.v) AS BIGINT) AS proj
        |FROM q JOIN v$PcaIters vN ON q.dim = vN.dim
        |GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** All-but-the-top residual, driver-verified
+    * ([[graft.sim.Pca.removeDominant]] — the APPLY step of the
+    * dominant-component pipeline): each vector's exact integer
+    * residual after removing its component along the learned
+    * direction, in the cross-multiplied no-division form
+    * `r_j = q_j·(w·w) − (q·w)·w_j` (integer-orthogonal to the removed
+    * direction BY CONSTRUCTION — PcaSpec asserts `r·w == 0` exactly).
+    * The residual pass is one zero-shuffle codegen projection; the
+    * query emits the first four residual components per vector and the
+    * oracle recomputes them on top of the full unrolled
+    * power-iteration chain.
+    */
+  def qPcaResidual(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val g = graft.sim.Pca.gram(emb, "embedding", dim = 64)
+    val v = graft.sim.Pca.dominantDirection(g, dim = 64, iters = PcaIters)
+    emb.select(col("vec_id"),
+        posexplode(graft.sim.Pca.removeDominant(col("embedding"), v))
+          .as(Seq("d", "r")))
+      .filter(col("d") < 4)
+      .select(col("vec_id"), (col("d") + 1).as("dim"), col("r"))
+      .orderBy("vec_id", "dim")
   }
+
+  val qPcaResidualSql: String =
+    s"""WITH $pcaChainSql,
+       |wn AS (SELECT sum(v * v) AS nsq FROM v$PcaIters),
+       |p AS (SELECT q.vec_id, sum(q.qv * vN.v) AS proj
+       |  FROM q JOIN v$PcaIters vN ON q.dim = vN.dim GROUP BY 1)
+       |SELECT q.vec_id, CAST(q.dim AS INT) AS dim,
+       |  CAST(q.qv * wn.nsq - p.proj * vN.v AS BIGINT) AS r
+       |FROM q
+       |JOIN v$PcaIters vN ON q.dim = vN.dim
+       |JOIN p ON p.vec_id = q.vec_id
+       |CROSS JOIN wn
+       |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
   /** Hard-negative mining, driver-verified
     * ([[graft.sim.Ann.hardNegatives]] — contrastive-training data prep):

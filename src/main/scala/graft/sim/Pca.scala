@@ -87,6 +87,18 @@ object Pca {
     */
   def project(vec: Column, weights: Array[Long], scale: Long = 10000L): Column =
     EU.column(IntDot(EU.expression(vec.cast("array<double>")), weights, scale))
+
+  /** The "all-but-the-top" APPLY step: the exact integer residual of
+    * each vector after removing its component along `weights` —
+    * `r_j = q_j·(w·w) − (q·w)·w_j` (the cross-multiplied form of
+    * `q − ((q·w)/(w·w))·w`, so no division and no float). By
+    * construction `r·w = (w·w)(q·w) − (q·w)(w·w) = 0` EXACTLY — the
+    * residual is integer-orthogonal to the removed direction, which the
+    * spec asserts literally. Zero-shuffle codegen, same contract as
+    * [[project]].
+    */
+  def removeDominant(vec: Column, weights: Array[Long], scale: Long = 10000L): Column =
+    EU.column(IntResidual(EU.expression(vec.cast("array<double>")), weights, scale))
 }
 
 /** One-pass exact Gram accumulation: per-partition state is the dense
@@ -203,5 +215,53 @@ case class IntDot(child: Expression, weights: Array[Long], scale: Long)
   }
 
   override protected def withNewChildInternal(c: Expression): IntDot =
+    copy(child = c)
+}
+
+/** Exact integer dominant-component residual
+  * `r_j = q_j·(w·w) − (q·w)·w_j` over `min(|x|, |w|)` dims — the
+  * cross-multiplied "all-but-the-top" removal with no division and no
+  * float. Overflow bound: `|r_j| ≤ 2·max|q|·Σw²`; at `|q| ≤ 10⁴·max|x|`
+  * and `Σw² ≤ dim·scale²` (64·10⁸) that is ~1.3×10¹³ · max|x| — safe in
+  * int64 for any `|x| < 10⁵`.
+  */
+case class IntResidual(child: Expression, weights: Array[Long], scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_residual"
+  override val dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val wNormSq: Long = {
+    var s = 0L; var i = 0
+    while (i < weights.length) { s += weights(i) * weights(i); i += 1 }
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  def compute(v: Any): ArrayData = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), weights.length)
+    val q = new Array[Long](n)
+    var proj = 0L
+    var i = 0
+    while (i < n) {
+      q(i) = if (arr.isNullAt(i)) 0L
+             else math.floor(arr.getDouble(i) * scale).toLong
+      proj += q(i) * weights(i)
+      i += 1
+    }
+    val r = new Array[Long](n)
+    i = 0
+    while (i < n) { r(i) = q(i) * wNormSq - proj * weights(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intResidual", this, classOf[IntResidual].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = (ArrayData) $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IntResidual =
     copy(child = c)
 }

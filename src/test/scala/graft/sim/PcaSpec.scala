@@ -62,6 +62,26 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("residual is EXACTLY integer-orthogonal to the removed direction") {
+    val vecs = Seq.tabulate(30)(i => (i.toLong, Seq.tabulate(6)(d => math.sin(i * 5 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val g = Pca.gram(df, "embedding", dim = 6)
+    val w = Pca.dominantDirection(g, dim = 6, iters = 8)
+    val rows = df.select(col("vec_id"),
+        Pca.removeDominant(col("embedding"), w).as("r"))
+      .as[(Long, Seq[Long])].collect()
+    assert(rows.length == 30)
+    rows.foreach { case (id, r) =>
+      val dot = r.zip(w).map { case (ri, wi) => BigInt(ri) * wi }.sum
+      assert(dot == 0, s"vec $id: residual·w = $dot (must be exactly 0)")
+      // and the residual matches the cross-multiplied definition
+      val q = vecs(id.toInt)._2.map(x => math.floor(x.toDouble * 10000L).toLong)
+      val proj = q.zip(w).map { case (qi, wi) => qi * wi }.sum
+      val wn = w.map(x => x * x).sum
+      assert(r == q.zip(w).map { case (qi, wi) => qi * wn - proj * wi })
+    }
+  }
+
   test("q_pca_project executes with codegen fallback DISABLED") {
     val conf = spark.conf
     val oldFallback = conf.get("spark.sql.codegen.fallback", "true")
