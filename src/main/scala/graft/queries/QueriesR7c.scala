@@ -282,6 +282,80 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** HLL sketch ROLLUP, driver-verified (the OLAP face of sketch
+    * mergeability — per-source distinct-word sketches that combine to
+    * the corpus union WITHOUT rescanning): one pass builds a 256-byte
+    * register lattice per source ([[graft.sketch.HyperLogLog]]);
+    * `__merged__` is the element-wise max of the GROUP lattices (the
+    * union-merge the sketch exists for — yesterday's sources + today's
+    * without re-reading either); `__direct__` re-sketches the whole
+    * corpus in one aggregate. The two MUST be register-identical (max
+    * is associative over the grouping) — the query emits both, so the
+    * driver hash pins the mergeability property itself, and the oracle
+    * re-derives every per-source register in SQL then merges
+    * independently.
+    */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")) // ASCII-only: byte fold == codepoint fold
+    val per = words.groupBy("source")
+      .agg(graft.sketch.HyperLogLog.sketch(col("w"), 8).as("regs"))
+      .select(col("source"), posexplode(col("regs")).as(Seq("j", "r")))
+    val merged = per.groupBy("j").agg(max(col("r")).as("r"))
+      .select(lit("__merged__").as("source"), col("j"), col("r"))
+    val direct = words
+      .agg(graft.sketch.HyperLogLog.sketch(col("w"), 8).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("j", "r")))
+      .select(lit("__direct__").as("source"), col("j"), col("r"))
+    per.unionByName(merged).unionByName(direct)
+      .select(col("source"), col("j").cast("long").as("j"), col("r"))
+      .orderBy("source", "j")
+  }
+
+  val qHllRollupSql: String =
+    """WITH words AS (
+      |  SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |  FROM documents),
+      |terms AS (
+      |  SELECT DISTINCT source, w FROM words WHERE regexp_matches(w, '^[a-z]+$')),
+      |hashed AS (
+      |  SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, len(w) + 1),
+      |      i -> CAST(unicode(w[CAST(i AS INT)]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      |  FROM terms),
+      |mx1 AS (
+      |  SELECT source, ((h + 2000016) % 1000000007) AS xa1,
+      |         ((h + 3000049) % 1000000007) AS xa2 FROM hashed),
+      |mx2 AS (
+      |  SELECT source, ((xa1 * xa1 + 204) % 1000000007) AS xb1,
+      |         ((xa2 * xa2 + 305) % 1000000007) AS xb2 FROM mx1),
+      |br AS (
+      |  SELECT source, ((xb1 * xb1 + xb1 + 7919) % 1000000007) % 256 AS j,
+      |         ((xb2 * xb2 + xb2 + 15838) % 1000000007) AS v
+      |  FROM mx2),
+      |ranks AS (
+      |  SELECT source, j, CASE WHEN v = 0 THEN 31
+      |                 ELSE 31 - len(bin(v)) END AS r FROM br),
+      |gregs AS (SELECT source, j, MAX(r) AS r FROM ranks GROUP BY 1, 2),
+      |pergrid AS (
+      |  SELECT s.source, i.i AS j, coalesce(g.r, 0) AS r
+      |  FROM (SELECT DISTINCT source FROM terms) s
+      |  CROSS JOIN range(256) i(i)
+      |  LEFT JOIN gregs g ON g.source = s.source AND g.j = i.i),
+      |mergedgrid AS (
+      |  SELECT '__merged__' AS source, j, MAX(r) AS r FROM pergrid GROUP BY 2),
+      |directgrid AS (
+      |  SELECT '__direct__' AS source, i.i AS j, coalesce(d.r, 0) AS r
+      |  FROM range(256) i(i)
+      |  LEFT JOIN (SELECT j, MAX(r) AS r FROM ranks GROUP BY 1) d ON d.j = i.i)
+      |SELECT source, CAST(j AS BIGINT) AS j, CAST(r AS INT) AS r FROM pergrid
+      |UNION ALL SELECT source, CAST(j AS BIGINT), CAST(r AS INT) FROM mergedgrid
+      |UNION ALL SELECT source, CAST(j AS BIGINT), CAST(r AS INT) FROM directgrid
+      |ORDER BY source, j""".stripMargin
+
   /** Hard-negative mining, driver-verified
     * ([[graft.sim.Ann.hardNegatives]] — contrastive-training data prep):
     * per query vector, the top-5 most-similar corpus vectors with a

@@ -42,6 +42,20 @@ class HyperLogLogSpec extends SparkTestBase {
     assert(est > 900 && est < 1600, s"union estimate $est")
   }
 
+  test("rollup query: merged-from-group registers equal the direct global sketch") {
+    val rows = graft.queries.QueriesR7c.qHllRollup(spark, "/root/testdata/sf0.001")
+      .collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val merged = bySource("__merged__").sortBy(_.getLong(1)).map(_.getInt(2)).toSeq
+    val direct = bySource("__direct__").sortBy(_.getLong(1)).map(_.getInt(2)).toSeq
+    assert(merged.length == 256 && merged == direct,
+      "group-wise max must reproduce the one-shot union sketch")
+    // and each per-source register is dominated by the merged register
+    bySource.filterNot(kv => kv._1.startsWith("__")).foreach { case (_, rs) =>
+      rs.foreach(r => assert(r.getInt(2) <= merged(r.getLong(1).toInt)))
+    }
+  }
+
   test("rank arithmetic: SQL bin-length replay equals numberOfLeadingZeros") {
     for (h <- Seq(0L, 1L, 7L, 255L, 536870911L, 999999999L)) {
       val (j, r) = HyperLogLog.bucketRank(h, 256)
