@@ -282,6 +282,59 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** STREAM-STREAM attribution join, driver-verified — the one
+    * Structured-Streaming face the other four streaming queries don't
+    * exercise: TWO watermarked streams (views and clicks over the same
+    * time-range-partitioned source files) inner-joined on user with a
+    * one-hour time-bound condition, append mode. The time bound plus
+    * both watermarks let Spark EVICT view state once the watermark
+    * passes `view_ts + 1h` — bounded state, the entire point of a
+    * streaming interval join; with file order == time order, every
+    * matching click has already arrived before its view is evictable,
+    * so the committed output is the COMPLETE pair set and the batch
+    * SQL oracle must match row for row — a micro-batch boundary that
+    * dropped or duplicated a pair breaks the hash.
+    */
+  def qStreamAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_attrib")
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(s"$base/src")
+    def side(tpe: String, alias: String) = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+      .filter(col("event_type") === tpe)
+      .select(col("user_id").as(s"${alias}_user"), col("ts").as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+    val query = side("view", "v").join(side("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("interval 1 hour"))
+      .select(col("v_user").as("user_id"), col("v_ts").as("view_ts"),
+        col("c_ts").as("click_ts"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$base/out")
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+      .orderBy("user_id", "view_ts", "click_ts")
+  }
+
+  val qStreamAttribSql: String =
+    """SELECT v.user_id AS user_id, v.ts AS view_ts, c.ts AS click_ts
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |  AND v.event_type = 'view' AND c.event_type = 'click'
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, view_ts, click_ts""".stripMargin
+
   /** HLL sketch ROLLUP, driver-verified (the OLAP face of sketch
     * mergeability — per-source distinct-word sketches that combine to
     * the corpus union WITHOUT rescanning): one pass builds a 256-byte

@@ -278,4 +278,27 @@ class StreamingSpec extends SparkTestBase {
   }
 
   private def ts(sec: Long) = new java.sql.Timestamp(1767225600000L + sec * 1000L)
+
+  test("stream-stream attribution join equals the batch interval join pair for pair") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def micros(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] = df
+      .select(col("user_id"),
+        expr("unix_micros(cast(view_ts as timestamp))"),
+        expr("unix_micros(cast(click_ts as timestamp))"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val got = micros(graft.queries.QueriesR7c.qStreamAttrib(spark, dir))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val expect = micros(v.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 1 hour"))
+      .select(col("user_id"), col("view_ts"), col("click_ts")))
+    assert(got.nonEmpty, "planted corpus must contain attributable pairs")
+    assert(got == expect, s"${got.length} streamed vs ${expect.length} batch pairs")
+  }
 }
