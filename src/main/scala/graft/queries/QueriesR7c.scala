@@ -282,6 +282,56 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** Temperature mixture sampling, driver-verified
+    * ([[graft.sample.Sampling.temperatureThresholds]] — rates DERIVED
+    * from corpus counts at τ = 1/2, the multilingual-pretraining
+    * exponent mixture): one aggregate computes per-lang counts, BigInt
+    * integer arithmetic turns them into 8-hex keep thresholds (head
+    * lang `en` flattens, tail langs keep coverage), and the keep pass
+    * is the zero-shuffle md5 predicate. Output per lang: corpus count,
+    * the threshold itself, and the EXACT deterministic sampled count —
+    * the oracle re-derives counts, isqrt weights, thresholds
+    * (`printf('%08x')`) and replays the identical hash predicate.
+    */
+  def qMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // bounded collect: one row per language — corpus statistics as
+    // config-sized model state
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val thr = graft.sample.Sampling.temperatureThresholds(counts, targetTotal = 250L)
+    val kept = docs
+      .filter(graft.sample.Sampling.mixtureKeepHex(col("doc_id"), col("lang"), thr))
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    import spark.implicits._
+    val thrDf = counts.map { case (g, n) => (g, n, thr(g)) }
+      .toDF("lang", "n_docs", "threshold")
+    thrDf.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("threshold"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  val qMixTemperatureSql: String =
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+      |th AS (SELECT lang, n,
+      |    (250::HUGEINT * w * 4294967296) // (n::HUGEINT * tot.sw) AS t64
+      |  FROM w, tot),
+      |thh AS (SELECT lang, n,
+      |    CASE WHEN t64 >= 4294967296 THEN 'g'
+      |         ELSE printf('%08x', CAST(t64 AS BIGINT)) END AS thr
+      |  FROM th),
+      |kept AS (
+      |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+      |  FROM documents d JOIN thh ON d.lang = thh.lang
+      |  WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thh.thr
+      |  GROUP BY 1)
+      |SELECT thh.lang, thh.n AS n_docs, thh.thr AS threshold,
+      |  CAST(coalesce(kept.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM thh LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+
   /** STREAM-STREAM attribution join, driver-verified — the one
     * Structured-Streaming face the other four streaming queries don't
     * exercise: TWO watermarked streams (views and clicks over the same

@@ -62,6 +62,43 @@ object Sampling {
       rates: Map[String, Double], default: Double = 1.0): DataFrame =
     df.filter(mixtureKeep(col(keyCol), col(groupCol), rates, default))
 
+  /** Temperature-scaled mixture thresholds (the multilingual-pretraining
+    * rate rule: sample group g proportionally to `n_g^τ` at τ = 1/2, so
+    * head languages flatten and tail languages keep coverage — the
+    * XLM-R/mT5-style exponent mixture, derived from CORPUS COUNTS
+    * instead of hand-set rates). All integer arithmetic so the SQL
+    * oracle replays thresholds bit-for-bit:
+    * `w_g = floor(sqrt(n_g))` (IEEE sqrt is correctly rounded in every
+    * engine, floor has no tie convention), and the keep threshold is
+    * `t64_g = (T·w_g·2³²) div (n_g·Σw)` computed in BigInt (no overflow
+    * at any corpus size), capped at 2³² → the [[thresholdHex]] "g"
+    * always-keep form. Expected sample size ≈ `T·w_g/Σw` per group —
+    * group counts are corpus statistics (one aggregate, group-bounded),
+    * the thresholds are config-sized plan state, and the keep pass is
+    * the same zero-shuffle md5 predicate as [[mixtureKeep]].
+    */
+  def temperatureThresholds(counts: Seq[(String, Long)],
+      targetTotal: Long): Map[String, String] = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0), "positive group counts required")
+    val w = counts.map { case (g, n) => g -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sw = w.map(_._2).sum
+    counts.zip(w).map { case ((g, n), (_, wg)) =>
+      val t64 = (BigInt(targetTotal) * wg * 4294967296L) / (BigInt(n) * sw)
+      g -> (if (t64 >= 4294967296L) "g" else f"${t64.toLong}%08x")
+    }.toMap
+  }
+
+  /** [[mixtureKeep]] over PRE-COMPUTED 8-hex thresholds (the
+    * [[temperatureThresholds]] output). Groups not listed never keep.
+    */
+  def mixtureKeepHex(key: Column, group: Column,
+      thresholds: Map[String, String]): Column = {
+    val h = hash8(key)
+    thresholds.toSeq.sortBy(_._1).foldRight(lit(false)) {
+      case ((g, t), acc) => when(group === lit(g), h < lit(t)).otherwise(acc)
+    }
+  }
+
   /** Two-way content-hash split (train/val): `splitCol` is "val" for the
     * top `valFrac` of hash space, "train" otherwise. Hashing content
     * (not ids) keeps every copy of a duplicated doc on one side — no

@@ -166,4 +166,37 @@ class SamplingSpec extends SparkTestBase {
         r.getLong(4), r.getLong(5)))
     assert(again.toSeq == expect)
   }
+
+  test("temperature thresholds: flatten the head, cap at always-keep, exact integer replay") {
+    import graft.sample.Sampling
+    val counts = Seq("en" -> 800L, "de" -> 100L, "fr" -> 100L, "ta" -> 4L)
+    val thr = Sampling.temperatureThresholds(counts, targetTotal = 500L)
+    // hand replay: w = isqrt(n) = 28,10,10,2 → sw = 50
+    // en: 500·28·2^32/(800·50) = 0.35·2^32; de/fr: 500·10·2^32/(100·50) = 2^32 → 'g'
+    // ta: 500·2·2^32/(4·50) = 5·2^32 → 'g' (tail keeps everything)
+    assert(thr("en") == f"${(BigInt(500) * 28 * 4294967296L / (800L * 50)).toLong}%08x")
+    assert(thr("de") == "g" && thr("fr") == "g" && thr("ta") == "g")
+    // head rate strictly below 1, tail at 1: the τ=1/2 flattening
+    assert(BigInt(thr("en"), 16) < BigInt(4294967296L))
+    // expected en sample ≈ 500·28/50 = 280 of 800 (rate 0.35)
+    val rate = BigInt(thr("en"), 16).toDouble / 4294967296.0
+    assert(math.abs(rate - 0.35) < 1e-9)
+    // keep-predicate verdicts are partitioning-invariant and match the
+    // threshold exactly (string-hex comparison == numeric comparison)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 400).map(i => (i.toLong, if (i % 4 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val kept = docs.filter(Sampling.mixtureKeepHex(col("doc_id"), col("lang"), thr))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.foreach { case (id, lang) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      assert(lang == "de" || h < thr("en"), s"doc $id kept above threshold")
+    }
+    assert(kept.count(_._2 == "de") == 100, "always-keep group keeps everything")
+    val enKept = kept.count(_._2 == "en")
+    assert(enKept > 60 && enKept < 150, s"en kept $enKept of 300 at rate 0.35")
+  }
 }
