@@ -210,6 +210,17 @@ object DataScaleProbe {
       // state); iteration + projection are corpus-independent
       "q_pca_project" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qPcaProject(s, d)),
+      // hard negatives: FIXED query set (vec_id < 10) over a growing
+      // corpus — candidates per probed cell grow ∝ n/nlist, so the
+      // operator contract is linear in corpus rows
+      "q_hard_negatives" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qHardNegatives(s, d)),
+      // hll rollup: per-source constant-state folds + reused exchange;
+      // temperature sampling: one count agg + one predicate scan
+      "q_hll_rollup" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qHllRollup(s, d)),
+      "q_mix_temperature" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qMixTemperature(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

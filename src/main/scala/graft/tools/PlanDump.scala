@@ -133,6 +133,12 @@ object PlanDump {
     // pca projection: same contract — the gram/power-iteration model is
     // plan state; the per-vector pass is one codegen projection
     dump("q_pca_project", graft.queries.QueriesR7c.qPcaProject(s, dir))
+    // hard negatives must be the ivf shape (fused cell argmax, cent_id
+    // equi-join) with the label filter in the join, not a post-rank pass;
+    // mix temperature's keep pass is a pure predicate over the scan
+    dump("q_hard_negatives", graft.queries.QueriesR7c.qHardNegatives(s, dir))
+    dump("q_hll_rollup", graft.queries.QueriesR7c.qHllRollup(s, dir))
+    dump("q_mix_temperature", graft.queries.QueriesR7c.qMixTemperature(s, dir))
     s.stop()
   }
 }
