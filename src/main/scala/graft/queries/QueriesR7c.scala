@@ -282,6 +282,62 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** Power-iteration rounds for the PageRank oracle. */
+  val PageRankIters = 4
+
+  /** Integer-exact PageRank, driver-verified ([[graft.graph.PageRank]]
+    * — entity importance over the customer↔supplier co-purchase graph,
+    * ~97k directed edges at sf0.01 after symmetrization): integer mass
+    * budget, truncating-division flow, `(15·base + 85·inflow) div 100`
+    * damping — every step an order-free integer sum, so ranks are
+    * bit-exact under any partitioning and the oracle unrolls all
+    * [[PageRankIters]] Pregel rounds as chained CTEs. Output: the
+    * top-30 nodes (suppliers offset by 10⁶), deterministic ties by
+    * node id. The presentation window is vertex-bounded; at corpus
+    * scale swap it for the repo's `TopKSmallest` aggregate.
+    */
+  def qPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val fwd = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = graft.graph.PageRank.run(edges, "src", "dst",
+      iters = PageRankIters)
+    val w = Window.orderBy(col("rank").desc, col("node"))
+    ranks.withColumn("pos", row_number().over(w)).filter(col("pos") <= 30)
+      .select(col("pos"), col("node"), col("rank"))
+      .orderBy("pos")
+  }
+
+  val qPageRankSql: String = {
+    val rounds = (1 to PageRankIters).map { k =>
+      val pr = s"r${k - 1}"
+      s"""f$k AS (SELECT e.dst AS node, sum($pr.rank // o.od) AS inflow
+         |  FROM e JOIN od o ON e.src = o.src JOIN $pr ON $pr.node = e.src
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |    CAST((15 * b.base + 85 * coalesce(f.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN b LEFT JOIN f$k f ON f.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |b AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+       |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT node, b.base AS rank FROM nodes CROSS JOIN b),
+       |$rounds,
+       |ranked AS (SELECT node, rank,
+       |    row_number() OVER (ORDER BY rank DESC, node) AS pos
+       |  FROM r$PageRankIters)
+       |SELECT pos, CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE pos <= 30 ORDER BY pos""".stripMargin
+  }
+
   /** Temperature mixture sampling, driver-verified
     * ([[graft.sample.Sampling.temperatureThresholds]] — rates DERIVED
     * from corpus counts at τ = 1/2, the multilingual-pretraining

@@ -221,6 +221,10 @@ object DataScaleProbe {
         graft.queries.QueriesR7c.qHllRollup(s, d)),
       "q_mix_temperature" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qMixTemperature(s, d)),
+      // pagerank runs on the FIXED orders/lineitem graph at every scale
+      // (the probe replicates documents/embeddings/events only) — kept
+      // out of the sweep; its per-round cost is two exchanges over
+      // edges by construction (PLANS.md)
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

@@ -139,6 +139,9 @@ object PlanDump {
     dump("q_hard_negatives", graft.queries.QueriesR7c.qHardNegatives(s, dir))
     dump("q_hll_rollup", graft.queries.QueriesR7c.qHllRollup(s, dir))
     dump("q_mix_temperature", graft.queries.QueriesR7c.qMixTemperature(s, dir))
+    // pagerank: each unrolled round must be join + key agg over edges —
+    // no cartesian, no per-node window
+    dump("q_pagerank", graft.queries.QueriesR7c.qPageRank(s, dir))
     s.stop()
   }
 }
