@@ -282,6 +282,43 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** Numeric-column histogram profiling, driver-verified
+    * ([[graft.stats.Stats.histogram]] — the distribution-drift /
+    * data-quality intake check): global per-column `[min,max]` as
+    * model state, then one `stack`ed scan with the affine-`floor`
+    * bucket map (the sq8 contract — no rounding-tie divergence) and a
+    * map-side-collapsing count aggregate. The oracle re-derives the
+    * stats and every bucket count over the same three lineitem
+    * columns.
+    */
+  def qProfileHist(spark: SparkSession, dir: String): DataFrame =
+    graft.stats.Stats.histogram(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), nbins = 16)
+      .orderBy("col_name", "bucket")
+
+  val qProfileHistSql: String =
+    """WITH s AS (
+      |  SELECT min(l_quantity) AS mn1, max(l_quantity) AS mx1,
+      |         min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2,
+      |         min(l_discount) AS mn3, max(l_discount) AS mx3
+      |  FROM lineitem),
+      |x AS (
+      |  SELECT 'l_quantity' AS col_name,
+      |    least(15.0, floor((l_quantity - s.mn1) / (s.mx1 - s.mn1) * 16)) AS bucket
+      |  FROM lineitem, s WHERE l_quantity IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'l_extendedprice',
+      |    least(15.0, floor((l_extendedprice - s.mn2) / (s.mx2 - s.mn2) * 16))
+      |  FROM lineitem, s WHERE l_extendedprice IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'l_discount',
+      |    least(15.0, floor((l_discount - s.mn3) / (s.mx3 - s.mn3) * 16))
+      |  FROM lineitem, s WHERE l_discount IS NOT NULL)
+      |SELECT col_name, CAST(bucket AS INT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM x GROUP BY 1, 2 ORDER BY col_name, bucket""".stripMargin
+
   /** Power-iteration rounds for the PageRank oracle. */
   val PageRankIters = 4
 

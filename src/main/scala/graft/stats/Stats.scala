@@ -155,6 +155,41 @@ object Stats {
     * safe while `n·max(x)² < 2⁶³/t²` — at 10⁹ events/hour per key and
     * t = 2 that is ~40 years of buckets.
     */
+  /** Equi-width histogram profiling of numeric columns — the
+    * data-quality face (distribution drift, outlier mass, dead ranges)
+    * every large-corpus intake runs before training. Two bounded-output
+    * passes: global per-column `[min, max]` (one aggregate, 2·cols
+    * doubles collected as model state), then ONE `stack`ed scan whose
+    * bucket projection is the [[graft.sim.Sq8Codes]] affine-`floor`
+    * contract (`floor((x−mn)/(mx−mn)·nbins)` clamped to `nbins−1` —
+    * floor has no rounding-tie convention to diverge cross-engine) and
+    * whose count aggregate collapses map-side to ≤ cols·nbins rows per
+    * partition. Null values are dropped (profiled separately if
+    * needed); a constant column puts all mass in bucket 0.
+    */
+  def histogram(df: DataFrame, columns: Seq[String], nbins: Int): DataFrame = {
+    require(nbins >= 1 && columns.nonEmpty)
+    val aggs = columns.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val s = df.agg(aggs.head, aggs.tail: _*).head // bounded: 2·cols doubles
+    val stackExpr = s"stack(${columns.length}, " +
+      columns.map(c => s"'$c', cast($c as double)").mkString(", ") +
+      ") as (col_name, x)"
+    val bucket = columns.zipWithIndex.foldRight(lit(-1).cast("int")) {
+      case ((c, i), acc) =>
+        val mn = s.getDouble(2 * i); val mx = s.getDouble(2 * i + 1)
+        val b =
+          if (mx == mn) lit(0).cast("int")
+          else least(lit((nbins - 1).toDouble),
+            floor((col("x") - lit(mn)) / lit(mx - mn) * nbins)).cast("int")
+        when(col("col_name") === lit(c), b).otherwise(acc)
+    }
+    df.select(expr(stackExpr)).filter(col("x").isNotNull)
+      .withColumn("bucket", bucket)
+      .groupBy("col_name", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   def zscoreFlags(counts: DataFrame, keys: Seq[String], xCol: String,
       threshold: Int): DataFrame = {
     val keyW = Window.partitionBy(keys.map(col): _*)

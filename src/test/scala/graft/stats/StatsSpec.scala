@@ -92,4 +92,24 @@ class StatsSpec extends SparkTestBase {
     assert(!plan.contains("Join"), "no join may appear")
     assert(out.count() > 0)
   }
+
+  test("histogram: local replay, max-value clamp, constant column, null drop") {
+    import spark.implicits._
+    val rows = Seq.tabulate(200)(i => (i.toDouble, 7.0, if (i % 5 == 0) None else Some(i * 3.0)))
+    val df = rows.toDF("a", "c", "b")
+    val got = graft.stats.Stats.histogram(df, Seq("a", "c", "b"), nbins = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // local replay for column a: mn=0, mx=199
+    val expectA = (0 until 200).groupBy { i =>
+      math.min(7, math.floor(i / 199.0 * 8).toInt)
+    }.view.mapValues(_.size.toLong).toMap
+    expectA.foreach { case (b, n) => assert(got(("a", b)) == n, s"bucket $b") }
+    // the max value lands in the LAST bucket, not bucket nbins
+    assert(got.keys.filter(_._1 == "a").map(_._2).max == 7)
+    // constant column: all mass in bucket 0
+    assert(got(("c", 0)) == 200L)
+    assert(!got.keys.exists(k => k._1 == "c" && k._2 != 0))
+    // nulls dropped: column b counts 160 non-null rows
+    assert(got.filter(_._1._1 == "b").values.sum == 160L)
+  }
 }
