@@ -282,6 +282,38 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** Bitext-style mutual-nearest alignment, driver-verified
+    * ([[graft.sim.Ann.mutualNearest]] — the mutual-best-match core of
+    * LASER/CCMatrix parallel-corpus mining): label-0 embeddings as
+    * corpus A, label-1 as corpus B; a pair survives only if each side
+    * is the other's cosine top-1 (ties → lower id). The oracle
+    * replays both direction's rankings and the mutual join
+    * independently.
+    */
+  def qBitextMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.sim.Ann.mutualNearest(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+      .orderBy("a_id")
+  }
+
+  val qBitextMineSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |a AS (SELECT vec_id AS a_id, v FROM e WHERE label = 0),
+      |b AS (SELECT vec_id AS b_id, v FROM e WHERE label = 1),
+      |fwd AS (SELECT a_id, b_id, sim FROM (
+      |  SELECT a.a_id, b.b_id, list_cosine_similarity(a.v, b.v) AS sim,
+      |    row_number() OVER (PARTITION BY a.a_id
+      |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.b_id) AS rk
+      |  FROM a CROSS JOIN b) WHERE rk = 1),
+      |bwd AS (SELECT a_id, b_id FROM (
+      |  SELECT b.b_id, a.a_id,
+      |    row_number() OVER (PARTITION BY b.b_id
+      |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, a.a_id) AS rk
+      |  FROM a CROSS JOIN b) WHERE rk = 1)
+      |SELECT f.a_id, f.b_id, round(f.sim, 4) + 0.0 AS sim
+      |FROM fwd f JOIN bwd USING (a_id, b_id) ORDER BY a_id""".stripMargin
+
   /** Numeric-column histogram profiling, driver-verified
     * ([[graft.stats.Stats.histogram]] — the distribution-drift /
     * data-quality intake check): global per-column `[min,max]` as

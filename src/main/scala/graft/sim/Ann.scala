@@ -136,6 +136,26 @@ object Ann {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Mutual nearest neighbors ACROSS two corpora — the mutual-best-match
+    * core of bitext / parallel-corpus mining (LASER/CCMatrix-style
+    * alignment: a candidate pair survives only if EACH side is the
+    * other's top-1; the global-best pair is always mutual, so the
+    * output is never empty on non-empty sides). Composes two exact
+    * [[bruteForceTopK]] passes — the baseline contract; for
+    * corpus-scale sides swap in the [[ivfTopKWith]] path, the
+    * composition is unchanged — and one pair equi-join.
+    */
+  def mutualNearest(a: DataFrame, b: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val fwd = bruteForceTopK(b, a, k = 1, idCol, vecCol)
+      .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
+        col("sim"))
+    val bwd = bruteForceTopK(a, b, k = 1, idCol, vecCol)
+      .select(col("query_id").as("b_id"), col("neighbor_id").as("a_id"))
+    fwd.join(bwd, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), (col("sim") + lit(0.0)).as("sim"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products
     * with deterministic pseudo-random hyperplanes (seeded, no stored
     * model). Vectors in the same bucket are high-cosine candidates.

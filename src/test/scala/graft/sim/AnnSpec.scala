@@ -449,6 +449,28 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("mutualNearest: every pair is mutually top-1 by local replay; the global best pair always survives") {
+    val a = emb.filter(col("label") === 0)
+    val b = emb.filter(col("label") === 1)
+    val aIds = a.collect().map(_.getLong(0)).toSet
+    val bIds = b.collect().map(_.getLong(0)).toSet
+    assert(aIds.nonEmpty && bIds.nonEmpty)
+    def top1(from: Long, cands: Set[Long]): Long =
+      cands.toSeq.map(c => (c, cos(vecs(from), vecs(c))))
+        .sortBy { case (id, s) => (-s, id) }.head._1
+    val got = Ann.mutualNearest(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (ai, bi) =>
+      assert(top1(ai, bIds) == bi, s"$bi is not $ai's top-1")
+      assert(top1(bi, aIds) == ai, s"$ai is not $bi's top-1")
+    }
+    // the globally most-similar cross pair is mutual by construction
+    val best = (for (ai <- aIds; bi <- bIds) yield (ai, bi, cos(vecs(ai), vecs(bi))))
+      .toSeq.sortBy { case (ai, bi, s) => (-s, ai, bi) }.head
+    assert(got.contains((best._1, best._2)), s"global best pair $best missing")
+  }
+
   test("kmeans guards: farthest init never duplicates seeds; ragged vectors fail loudly") {
     import spark.implicits._
     // 2 distinct vectors, k = 3: must FAIL like init="first", not
