@@ -282,6 +282,44 @@ object QueriesR7c {
        |CROSS JOIN wn
        |WHERE q.dim <= 4 ORDER BY q.vec_id, q.dim""".stripMargin
 
+  /** Source vocabulary-overlap matrix, driver-verified
+    * ([[graft.text.TextAnalysis.sourceOverlap]] — the mirrored-source
+    * audit): exact integer `|A∩B|`/`|A∪B|` per source pair from one
+    * distinct `(term, source)` self-equi-join on the term. Top-40
+    * pairs by intersection (ties by pair id) keep the output bounded.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = Window.orderBy(col("inter").desc, col("src_a"), col("src_b"))
+    graft.text.TextAnalysis.sourceOverlap(docs, "source", "text")
+      .withColumn("pos", row_number().over(w)).filter(col("pos") <= 40)
+      .select(col("pos"), col("src_a"), col("src_b"), col("inter"), col("uni"))
+      .orderBy("pos")
+  }
+
+  val qSourceOverlapSql: String =
+    """WITH terms AS (
+      |  SELECT DISTINCT source AS g, w FROM (
+      |    SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS w
+      |    FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$')),
+      |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS nterms FROM terms GROUP BY 1),
+      |inter AS (
+      |  SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM terms a JOIN terms b ON a.w = b.w AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |full_m AS (
+      |  SELECT i.src_a, i.src_b, i.inter,
+      |    sa.nterms + sb.nterms - i.inter AS uni
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.g = i.src_a
+      |  JOIN sizes sb ON sb.g = i.src_b),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    ORDER BY inter DESC, src_a, src_b) AS pos FROM full_m)
+      |SELECT pos, src_a, src_b, inter, CAST(uni AS BIGINT) AS uni
+      |FROM ranked WHERE pos <= 40 ORDER BY pos""".stripMargin
+
   /** Bitext-style mutual-nearest alignment, driver-verified
     * ([[graft.sim.Ann.mutualNearest]] — the mutual-best-match core of
     * LASER/CCMatrix parallel-corpus mining): label-0 embeddings as

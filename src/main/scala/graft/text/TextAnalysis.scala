@@ -499,4 +499,34 @@ object TextAnalysis {
         (lit(1.0) / (lit(1.0) + exp(-(mean + lit(bias))))).as("score")))
       .drop("_hls_toks", "_hls_feats")
   }
+
+  /** Pairwise SOURCE vocabulary overlap — the mirrored-source audit a
+    * crawl intake runs before dedup (two sources sharing most of their
+    * vocabulary are usually the same site scraped twice; exact Jaccard
+    * here names the pair, MinHash then dedups the documents). Exact and
+    * integer-only: per-pair `|A∩B|` via ONE equi-join of the distinct
+    * `(term, source)` relation with itself on the term (src_a < src_b
+    * halves the pairs), `|A∪B| = |A|+|B|−|A∩B|` — the caller divides if
+    * it wants a ratio. Per-term fan-out is bounded by `sources²` (the
+    * group count, config-scale), never by corpus rows; at large group
+    * counts swap the exact join for the MinHash band path — the output
+    * contract is unchanged.
+    */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .select(col(groupCol).as("g"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")) // ASCII terms: byte==codepoint fold
+      .distinct()
+    val sizes = terms.groupBy("g").agg(count(lit(1)).as("nterms"))
+    val t2 = terms.select(col("g").as("g2"), col("w").as("w2"))
+    val inter = terms.join(t2, col("w") === col("w2") && col("g") < col("g2"))
+      .groupBy(col("g").as("src_a"), col("g2").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("g").as("src_a"), col("nterms").as("na")), "src_a")
+      .join(sizes.select(col("g").as("src_b"), col("nterms").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+  }
 }

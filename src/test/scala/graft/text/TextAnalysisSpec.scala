@@ -431,4 +431,27 @@ class TextAnalysisSpec extends SparkTestBase {
       s"CRLF page must keep all 3 lines, got ${r.getLong(2)}")
     assert(!r.getString(4).contains("\r"))
   }
+
+  test("sourceOverlap: hand-counted intersections/unions; near-mirror pair ranks by overlap") {
+    import spark.implicits._
+    // s1 vocab {a,b,c,d}; s2 = near-mirror {a,b,c}; s3 disjoint-ish {x,y,b}
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "c d"),
+      (3L, "s2", "a b"), (4L, "s2", "c a"),
+      (5L, "s3", "x y"), (6L, "s3", "b x"),
+      (7L, "s1", "UPPER 123 IGNORED")) // non-[a-z]+ terms dropped
+      .toDF("doc_id", "source", "text")
+    val got = graft.text.TextAnalysis.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // vocab sizes: s1 {a,b,c,d}=4, s2 {a,b,c}=3, s3 {x,y,b}=3
+    assert(got(("s1", "s2")) == ((3L, 4L)))  // ∩ {a,b,c}, ∪ {a,b,c,d}
+    assert(got(("s1", "s3")) == ((1L, 6L)))  // ∩ {b}
+    assert(got(("s2", "s3")) == ((1L, 5L)))  // ∩ {b}
+    // the near-mirror pair has the highest Jaccard (cross-multiplied compare)
+    val (iMirror, uMirror) = got(("s1", "s2"))
+    got.filterNot(_._1 == ("s1", "s2")).values.foreach { case (i, u) =>
+      assert(iMirror * u > i * uMirror, "mirror pair must rank first")
+    }
+  }
 }
