@@ -100,19 +100,26 @@ object Multimodal {
 
   private def toGray(img: java.awt.image.BufferedImage): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight
-    val raster = img.getRaster
     val out = new Array[Byte](w * h)
-    val bands = raster.getNumBands
+    // fast raster path ONLY for true single-band grayscale; every other
+    // layout goes through getRGB, which applies the image's ColorModel —
+    // raw raster samples would return PALETTE INDICES for indexed-color
+    // GIF/PNG/BMP (garbage luma with no error) and a 2-band gray+alpha
+    // PNG would die on a missing third band
+    val grayRaster =
+      img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v =
-          if (bands == 1) raster.getSample(x, y, 0)
+          if (grayRaster) raster.getSample(x, y, 0)
           else {
-            val r = raster.getSample(x, y, 0)
-            val g = raster.getSample(x, y, 1)
-            val b = raster.getSample(x, y, 2)
+            val rgb = img.getRGB(x, y) // ColorModel-resolved sRGB
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
             (299 * r + 587 * g + 114 * b) / 1000
           }
         out(y * w + x) = v.toByte

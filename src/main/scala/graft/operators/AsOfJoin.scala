@@ -59,7 +59,14 @@ object AsOfJoin {
         struct(leftPayload.map(col): _*).as("_l"),
         lit(null).cast(structType(right, rightPayload, extraTs = tsCol)).as("_r")))
 
-    val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col("_side").asc)
+    // `_r` as the final sort key makes the pick among right rows tied on
+    // (key, ts) DETERMINISTIC (struct ordering is lexicographic by
+    // field): without it, `last` would return whichever duplicate the
+    // task ordering happened to sort last — a partitioning-dependent
+    // result, which this repo's bit-for-bit contract forbids. Fully
+    // identical duplicate rows remain interchangeable (same payload).
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = last(col("_r"), ignoreNulls = true).over(w)
     val inWindow: Column = tolerance match {

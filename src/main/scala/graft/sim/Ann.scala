@@ -121,12 +121,18 @@ object Ann {
 
   /** Brute-force exact top-k neighbors for each query vector.
     * `queries` must be broadcast-small (it is the build side).
+    * `excludeSelf` (default, the self-search contract) drops candidates
+    * whose id equals the query id; pass `false` for CROSS-corpus search
+    * where the two sides have independent id spaces and an id collision
+    * is NOT the same vector ([[mutualNearest]]).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("sim", CosineSim(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -147,10 +153,13 @@ object Ann {
     */
   def mutualNearest(a: DataFrame, b: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val fwd = bruteForceTopK(b, a, k = 1, idCol, vecCol)
+    // excludeSelf = false: the sides are DIFFERENT corpora, so an id
+    // collision is two distinct vectors, not a self-match — dropping it
+    // would silently diverge from the cross-join oracle
+    val fwd = bruteForceTopK(b, a, k = 1, idCol, vecCol, excludeSelf = false)
       .select(col("query_id").as("a_id"), col("neighbor_id").as("b_id"),
         col("sim"))
-    val bwd = bruteForceTopK(a, b, k = 1, idCol, vecCol)
+    val bwd = bruteForceTopK(a, b, k = 1, idCol, vecCol, excludeSelf = false)
       .select(col("query_id").as("b_id"), col("neighbor_id").as("a_id"))
     fwd.join(bwd, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), (col("sim") + lit(0.0)).as("sim"))
@@ -861,7 +870,13 @@ case class PqAdcScore(left: Expression, right: Expression)
     var acc = 0.0
     var mi = 0
     while (mi < m) {
-      acc += table.getArray(mi).getDouble(codes.getInt(mi))
+      // bounded on corrupt rows (the PqCodes/Sq8Codes convention): a
+      // code outside this subspace's table — codes from a DIFFERENT
+      // codebook size, or a corrupt value — contributes 0 instead of
+      // killing the task with an out-of-bounds read
+      val sub = table.getArray(mi)
+      val code = codes.getInt(mi)
+      if (code >= 0 && code < sub.numElements()) acc += sub.getDouble(code)
       mi += 1
     }
     acc

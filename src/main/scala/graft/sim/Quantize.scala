@@ -102,7 +102,11 @@ object Quantize {
     val maxs = new Array[Double](dim)
     sq8Stats(emb, vecCol).collect().foreach { r =>
       val d = r.getInt(0)
-      if (d < dim) { mins(d) = r.getDouble(1); maxs(d) = r.getDouble(2) }
+      // an all-NULL dimension aggregates to NULL min/max — leave it at
+      // the (0,0) degenerate default (codes 0) instead of dying here
+      if (d < dim && !r.isNullAt(1) && !r.isNullAt(2)) {
+        mins(d) = r.getDouble(1); maxs(d) = r.getDouble(2)
+      }
     }
     (mins, maxs)
   }

@@ -142,19 +142,6 @@ object Stats {
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Population z-score outlier flags per key, integer-exact: a bucket
-    * with measurement `x` among its key's `n` buckets (sum `s`, sum of
-    * squares `ss`) is an outlier iff `|x − mean| > t·stddev`, spelled
-    * cross-multiplied so only BIGINT arithmetic runs:
-    * `(n·x − s)² > t²·(n·ss − s²)`.
-    *
-    * Shape: one shuffle on the key; the three moments are plain window
-    * aggregates over the same partitioning (one exchange). State per
-    * key is three longs — never a value list. Zero variance ⇒ RHS = 0
-    * and LHS = 0 ⇒ not an outlier, in every engine. Overflow bound:
-    * safe while `n·max(x)² < 2⁶³/t²` — at 10⁹ events/hour per key and
-    * t = 2 that is ~40 years of buckets.
-    */
   /** Equi-width histogram profiling of numeric columns — the
     * data-quality face (distribution drift, outlier mass, dead ranges)
     * every large-corpus intake runs before training. Two bounded-output
@@ -178,11 +165,17 @@ object Stats {
       ") as (col_name, x)"
     val bucket = columns.zipWithIndex.foldRight(lit(-1).cast("int")) {
       case ((c, i), acc) =>
-        val mn = s.getDouble(2 * i); val mx = s.getDouble(2 * i + 1)
+        // an all-NULL (or empty) column has NULL min/max — its rows are
+        // all filtered out below, so any constant works; guarding here
+        // keeps plan BUILD from dying on the profiler's own input class
         val b =
-          if (mx == mn) lit(0).cast("int")
-          else least(lit((nbins - 1).toDouble),
-            floor((col("x") - lit(mn)) / lit(mx - mn) * nbins)).cast("int")
+          if (s.isNullAt(2 * i) || s.isNullAt(2 * i + 1)
+              || s.getDouble(2 * i) == s.getDouble(2 * i + 1)) lit(0).cast("int")
+          else {
+            val mn = s.getDouble(2 * i); val mx = s.getDouble(2 * i + 1)
+            least(lit((nbins - 1).toDouble),
+              floor((col("x") - lit(mn)) / lit(mx - mn) * nbins)).cast("int")
+          }
         when(col("col_name") === lit(c), b).otherwise(acc)
     }
     df.select(expr(stackExpr)).filter(col("x").isNotNull)
@@ -190,6 +183,19 @@ object Stats {
       .groupBy("col_name", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Population z-score outlier flags per key, integer-exact: a bucket
+    * with measurement `x` among its key's `n` buckets (sum `s`, sum of
+    * squares `ss`) is an outlier iff `|x − mean| > t·stddev`, spelled
+    * cross-multiplied so only BIGINT arithmetic runs:
+    * `(n·x − s)² > t²·(n·ss − s²)`.
+    *
+    * Shape: one shuffle on the key; the three moments are plain window
+    * aggregates over the same partitioning (one exchange). State per
+    * key is three longs — never a value list. Zero variance ⇒ RHS = 0
+    * and LHS = 0 ⇒ not an outlier, in every engine. Overflow bound:
+    * safe while `n·max(x)² < 2⁶³/t²` — at 10⁹ events/hour per key and
+    * t = 2 that is ~40 years of buckets.
+    */
   def zscoreFlags(counts: DataFrame, keys: Seq[String], xCol: String,
       threshold: Int): DataFrame = {
     val keyW = Window.partitionBy(keys.map(col): _*)

@@ -97,11 +97,18 @@ object BpeTrainer {
     }
     docs.select(col(idCol),
         explode_outer(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      // gate the merge chain on the word test: ntok is only CONSUMED
+      // under isw, so non-word tokens (punctuation, numbers — routinely
+      // a large slice of whitespace tokens on the every-document encode
+      // path) skip the regexp + N-replace chain instead of computing a
+      // value the aggregate throws away
       .select(col(idCol), col("w").rlike("^[a-z]+$").as("isw"),
-        expr(s"size(split(trim($seg), ' '))").cast("long").as("ntok"))
+        when(col("w").rlike("^[a-z]+$"),
+          expr(s"size(split(trim($seg), ' '))").cast("long")).otherwise(0L)
+          .as("ntok"))
       .groupBy(col(idCol))
       .agg(sum(when(col("isw"), 1L).otherwise(0L)).as("n_words"),
-        sum(when(col("isw"), col("ntok")).otherwise(0L)).as("n_tokens"))
+        sum(col("ntok")).as("n_tokens"))
   }
 
   /** The SQL replay: the same word-frequency table, then `numMerges`

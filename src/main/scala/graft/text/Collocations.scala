@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * relation; the final top-k window runs over that bounded relation
   * (swap in the repo's `TopKSmallest` aggregate past vocabulary
   * scale).
+  *
+  * Overflow bound (disclosed, not silent): the score numerator is
+  * `c_xy·N·10⁶`, exact while `c_xy·N < 2⁶³/10⁶ ≈ 9.2×10¹²` — e.g. a
+  * 10⁹-token corpus with a 9×10³-count bigram. Past that, pre-scale
+  * both counts (`c div 2ᵏ` on c_xy and N — the ORDER of scores is
+  * unchanged for any common divisor) or drop the 10⁶ precision scale;
+  * Spark's non-ANSI wrap would otherwise mis-rank silently while the
+  * DuckDB replay errors, the worst possible disagreement.
   */
 object Collocations {
 
@@ -43,8 +51,11 @@ object Collocations {
     val uni = toks.select(explode(col("t")).as("w"))
       .filter(col("w").rlike(word))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    // N = total counted tokens: a scalar by construction (one long)
-    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    // N = total counted tokens: a scalar by construction (one long);
+    // NULL sum = zero counted tokens (all-numeric/non-Latin corpus) —
+    // the correct answer is an empty result, not an NPE
+    val nRow = uni.agg(sum(col("c"))).head
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     val bi = toks.filter(size(col("t")) >= 2)
       .select(explode(expr(
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +

@@ -127,4 +127,30 @@ class MultimodalSpec extends SparkTestBase {
       assert(fs.forall(_.getInt(1) % 2 == 0))
     }
   }
+
+  test("indexed-color GIF decodes through the ColorModel, not raw palette indices") {
+    // a COLOR image written as GIF forces an indexed raster on read:
+    // raw raster samples would be palette indices, not luma
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff,
+      0x000000, 0x808080, 0xffff00, 0x00ffff)
+    for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, colors(y * 4 + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val dec = graft.multimodal.Multimodal.decodeImage(bos.toByteArray)
+    assert(dec.isDefined && dec.get.codec == "imageio:gif")
+    // re-read the written GIF independently and compute luma through
+    // ITS ColorModel — the decode must agree pixel for pixel
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val rgb = back.getRGB(x, y)
+      val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+      assert((dec.get.gray(y * 4 + x) & 0xff) == luma, s"pixel ($x,$y)")
+    }
+    // red (luma 76) must not decode as some small palette index of red
+    assert((dec.get.gray(0) & 0xff) == 76)
+  }
 }

@@ -71,4 +71,23 @@ class AsOfJoinSpec extends SparkTestBase {
       .as[(Long, Option[Long])].collect().toMap
     assert(got == expect)
   }
+
+  test("right rows tied on (key, ts) pick deterministically across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two dim versions at the SAME microsecond: the struct-greatest one
+    // (payload (9, 900)) must win, on every partitioning
+    val right = Seq((7L, 100L, 3L, 300L), (7L, 100L, 9L, 900L))
+      .toDF("k", "ts", "ver_id", "ver_val")
+    val left = Seq((7L, 100L, 1L), (7L, 150L, 2L)).toDF("k", "ts", "ev")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      graft.operators.AsOfJoin.asOf(left, r, "k", "ts")
+        .orderBy("ev").select("ev", "ver_id", "ver_val")
+        .as[(Long, Long, Long)].collect().toSeq
+    val a = run(right)
+    val b = run(right.repartition(7))
+    val c = run(right.repartition(1).sortWithinPartitions(desc("ver_id")))
+    assert(a == b && b == c, s"tie pick must not depend on partitioning: $a / $b / $c")
+    assert(a.forall { case (_, vid, vv) => vid == 9L && vv == 900L })
+  }
 }

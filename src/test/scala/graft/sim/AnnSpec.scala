@@ -471,6 +471,21 @@ class AnnSpec extends SparkTestBase {
     assert(got.contains((best._1, best._2)), s"global best pair $best missing")
   }
 
+  test("mutualNearest: cross-corpus id collisions are NOT self-matches") {
+    import spark.implicits._
+    // independent id spaces: both corpora use id 1; the vectors are
+    // near-identical so (1,1) is the obvious mutual pair — dropping it
+    // as a "self match" would return an empty result
+    val a = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.mutualNearest(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 1L)), s"colliding-id pair must survive: $got")
+    assert(got.contains((2L, 3L)))
+  }
+
   test("kmeans guards: farthest init never duplicates seeds; ragged vectors fail loudly") {
     import spark.implicits._
     // 2 distinct vectors, k = 3: must FAIL like init="first", not

@@ -112,4 +112,14 @@ class StatsSpec extends SparkTestBase {
     // nulls dropped: column b counts 160 non-null rows
     assert(got.filter(_._1._1 == "b").values.sum == 160L)
   }
+
+  test("histogram: an all-NULL column profiles as empty instead of dying") {
+    import spark.implicits._
+    val df = Seq((1.0, Option.empty[Double]), (2.0, Option.empty[Double]))
+      .toDF("ok", "dead")
+    val got = graft.stats.Stats.histogram(df, Seq("ok", "dead"), nbins = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.count(_._1 == "ok") > 0)
+    assert(!got.exists(_._1 == "dead"), "all-NULL column contributes no buckets")
+  }
 }

@@ -34,4 +34,11 @@ class CollocationsSpec extends SparkTestBase {
     assert(out.find(r => r._1 == "a").get._3 == 4L)
     assert(out.find(r => r._1 == "b").get._3 == 3L)
   }
+
+  test("a corpus with zero ASCII words yields an empty result, not a crash") {
+    import spark.implicits._
+    val docs = Seq("123 456", "ÉÀÜ ÖÏ", "").toDF("text")
+    assert(graft.text.Collocations.pmiBigrams(docs, "text",
+      minCount = 1, topK = 10).count() == 0)
+  }
 }
