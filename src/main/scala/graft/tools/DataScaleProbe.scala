@@ -225,6 +225,17 @@ object DataScaleProbe {
       // (the probe replicates documents/embeddings/events only) — kept
       // out of the sweep; its per-round cost is two exchanges over
       // edges by construction (PLANS.md)
+      // source overlap: distinct (term, source) relation grows with the
+      // corpus; replica sources keep the pair fan-out sources²-bounded
+      "q_source_overlap" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qSourceOverlap(s, d)),
+      // bitext: label-split corpora both grow ∝ n; the exact top-1 pass
+      // is the |A|·|B| baseline contract (the IVF path is the scale swap)
+      "q_bitext_mine" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qBitextMine(s, d)),
+      // profile_hist reads the FIXED lineitem table (not replicated
+      // here) — out of the sweep like pagerank; its scan + bounded agg
+      // shape is linear by construction (PLANS.md)
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

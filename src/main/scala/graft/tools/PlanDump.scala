@@ -142,6 +142,11 @@ object PlanDump {
     // pagerank: each unrolled round must be join + key agg over edges —
     // no cartesian, no per-node window
     dump("q_pagerank", graft.queries.QueriesR7c.qPageRank(s, dir))
+    // profile: one stacked Generate + map-side-collapsed count agg;
+    // source overlap: distinct (term, source) self-equi-join on the term
+    dump("q_profile_hist", graft.queries.QueriesR7c.qProfileHist(s, dir))
+    dump("q_source_overlap", graft.queries.QueriesR7c.qSourceOverlap(s, dir))
+    dump("q_bitext_mine", graft.queries.QueriesR7c.qBitextMine(s, dir))
     s.stop()
   }
 }
