@@ -320,6 +320,47 @@ object QueriesR7c {
       |SELECT pos, src_a, src_b, inter, CAST(uni AS BIGINT) AS uni
       |FROM ranked WHERE pos <= 40 ORDER BY pos""".stripMargin
 
+  /** Seasonal-baseline anomaly flags, driver-verified — the composition
+    * the monitoring operators exist for: the zero-filled
+    * [[qDensifyBuckets]] grid, a per-(type, hour-of-day) seasonal
+    * MEDIAN baseline (the type-1 rank-arithmetic order statistic — no
+    * float anywhere), and the integer deviation rule
+    * `|2n − 2·med| > med` (count outside `[med/2, 3·med/2]`). Because
+    * the grid is densified, a SILENT hour (n = 0) flags against a
+    * nonzero baseline — a gap is an incident, which is the reason
+    * densification precedes anomaly detection. One extra key exchange
+    * over the bucket-level relation; the oracle replays grid, median
+    * and rule independently.
+    */
+  def qSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dense = qDensifyBuckets(spark, dir)
+      .select(col("event_type"), col("hr"), expr("hr % 24").as("hod"),
+        col("n_events"))
+    val med = graft.stats.Stats.percentileDisc(dense,
+        Seq("event_type", "hod"), "n_events", tieCol = "hr", Seq(50))
+      .select(col("event_type"), col("hod"), col("v").as("med"))
+    dense.join(med, Seq("event_type", "hod"))
+      .select(col("event_type"), col("hr"), col("n_events"), col("med"),
+        (abs(col("n_events") * 2 - col("med") * 2) > col("med"))
+          .cast("int").as("is_anom"))
+      .orderBy("event_type", "hr")
+  }
+
+  val qSeasonalAnomalySql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, hr, hr % 24 AS hod, n_events
+       |  FROM ($qDensifyBucketsSql) dz),
+       |m AS (SELECT event_type, hod, v AS med FROM (
+       |  SELECT event_type, hod, n_events AS v,
+       |    row_number() OVER (PARTITION BY event_type, hod
+       |      ORDER BY n_events, hr) AS rk,
+       |    count(*) OVER (PARTITION BY event_type, hod) AS n
+       |  FROM d) WHERE (rk - 1) * 100 < 50 * n AND rk * 100 >= 50 * n)
+       |SELECT d.event_type, d.hr, d.n_events, m.med,
+       |  CAST(abs(d.n_events * 2 - m.med * 2) > m.med AS INT) AS is_anom
+       |FROM d JOIN m USING (event_type, hod)
+       |ORDER BY d.event_type, d.hr""".stripMargin
+
   /** Bitext-style mutual-nearest alignment, driver-verified
     * ([[graft.sim.Ann.mutualNearest]] — the mutual-best-match core of
     * LASER/CCMatrix parallel-corpus mining): label-0 embeddings as

@@ -113,6 +113,33 @@ class StatsSpec extends SparkTestBase {
     assert(got.filter(_._1._1 == "b").values.sum == 160L)
   }
 
+  test("seasonal anomaly rule: silent hours and spikes flag against the hour-of-day median") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 days of hour-0 counts for one type: baseline ~10, one silent
+    // day (0) and one 3× spike (30); hour-1 is flat
+    val dense = Seq(
+      ("click", 0L, 10L), ("click", 24L, 11L), ("click", 48L, 0L),
+      ("click", 72L, 30L), ("click", 96L, 10L),
+      ("click", 1L, 5L), ("click", 25L, 5L), ("click", 49L, 5L),
+      ("click", 73L, 5L), ("click", 97L, 5L))
+      .toDF("event_type", "hr", "n_events")
+      .withColumn("hod", expr("hr % 24"))
+    val med = graft.stats.Stats.percentileDisc(dense,
+        Seq("event_type", "hod"), "n_events", tieCol = "hr", Seq(50))
+      .select(col("event_type"), col("hod"), col("v").as("med"))
+    val flags = dense.join(med, Seq("event_type", "hod"))
+      .select(col("hr"),
+        (abs(col("n_events") * 2 - col("med") * 2) > col("med"))
+          .cast("int").as("a"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // hour-0 median = 10: silent day (0) and spike (30) flag; 10/11 don't
+    assert(flags(48L) == 1 && flags(72L) == 1)
+    assert(flags(0L) == 0 && flags(24L) == 0 && flags(96L) == 0)
+    // flat hour-1 never flags
+    Seq(1L, 25L, 49L, 73L, 97L).foreach(h => assert(flags(h) == 0, s"hr $h"))
+  }
+
   test("histogram: an all-NULL column profiles as empty instead of dying") {
     import spark.implicits._
     val df = Seq((1.0, Option.empty[Double]), (2.0, Option.empty[Double]))
