@@ -236,6 +236,11 @@ object DataScaleProbe {
       // profile_hist reads the FIXED lineitem table (not replicated
       // here) — out of the sweep like pagerank; its scan + bounded agg
       // shape is linear by construction (PLANS.md)
+      // seasonal anomaly: events grow but the grid/median/flags run on
+      // the BUCKET-level relation (types × hours) — only the count
+      // scan should grow
+      "q_seasonal_anomaly" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qSeasonalAnomaly(s, d)),
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

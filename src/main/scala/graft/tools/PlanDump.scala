@@ -147,6 +147,9 @@ object PlanDump {
     dump("q_profile_hist", graft.queries.QueriesR7c.qProfileHist(s, dir))
     dump("q_source_overlap", graft.queries.QueriesR7c.qSourceOverlap(s, dir))
     dump("q_bitext_mine", graft.queries.QueriesR7c.qBitextMine(s, dir))
+    // seasonal anomaly: the densify grid + ONE (type, hod) key exchange
+    // for the median window + the flags join — no corpus-sized window
+    dump("q_seasonal_anomaly", graft.queries.QueriesR7c.qSeasonalAnomaly(s, dir))
     s.stop()
   }
 }
