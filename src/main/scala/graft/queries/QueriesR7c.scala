@@ -320,6 +320,42 @@ object QueriesR7c {
       |SELECT pos, src_a, src_b, inter, CAST(uni AS BIGINT) AS uni
       |FROM ranked WHERE pos <= 40 ORDER BY pos""".stripMargin
 
+  /** Blocked fuzzy name matching, driver-verified
+    * ([[graft.text.FuzzyMatch]] — record linkage over the part-name
+    * dictionary): union-of-blocking-keys candidates (first-2 + last-2
+    * chars), plain Levenshtein in the 1..2 typo band, corpus
+    * frequencies on both sides. Resolution runs on the 64-name
+    * DICTIONARY, never corpus rows; the oracle replays blocking,
+    * distance and counts with DuckDB's own `levenshtein`.
+    */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.text.FuzzyMatch.fuzzyNamePairs(
+        spark.read.parquet(s"$dir/part.parquet"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+
+  val qFuzzyMatchSql: String =
+    """WITH c AS (
+      |  SELECT nm, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT lower(trim(p_name)) AS nm FROM part)
+      |  WHERE nm IS NOT NULL AND length(nm) >= 2 GROUP BY 1),
+      |k AS (
+      |  SELECT nm, substring(nm, 1, 2) AS bk FROM c
+      |  UNION
+      |  SELECT nm, substring(nm, length(nm) - 1, 2) AS bk FROM c),
+      |pairs AS (
+      |  SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+      |  FROM k a JOIN k b ON a.bk = b.bk AND a.nm < b.nm),
+      |scored AS (
+      |  SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+      |  FROM pairs)
+      |SELECT s.name_a, s.name_b, CAST(s.dist AS INT) AS dist,
+      |  ca.n AS n_a, cb.n AS n_b
+      |FROM scored s
+      |JOIN c ca ON ca.nm = s.name_a
+      |JOIN c cb ON cb.nm = s.name_b
+      |WHERE s.dist BETWEEN 1 AND 2
+      |ORDER BY s.name_a, s.name_b""".stripMargin
+
   /** Seasonal-baseline anomaly flags, driver-verified — the composition
     * the monitoring operators exist for: the zero-filled
     * [[qDensifyBuckets]] grid, a per-(type, hour-of-day) seasonal
