@@ -320,6 +320,54 @@ object QueriesR7c {
       |SELECT pos, src_a, src_b, inter, CAST(uni AS BIGINT) AS uni
       |FROM ranked WHERE pos <= 40 ORDER BY pos""".stripMargin
 
+  /** Corpus-curation funnel report, driver-verified — the table every
+    * dataset release publishes: documents surviving each curation
+    * stage with exact counts. Stages: raw → exact dedup (min-doc_id
+    * survivor per content hash) → word band (20..2000 ws tokens, the
+    * Gopher-style length gate) → target language. Each stage is a
+    * scan-level filter over the SURVIVOR relation — one content-hash
+    * exchange total, then pure codegen predicates; the oracle replays
+    * every stage count independently, so a drifting filter or a
+    * survivor-selection change breaks the hash.
+    */
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val surv = docs.withColumn("_rk", row_number().over(
+        Window.partitionBy(md5(coalesce(col("text"), lit(""))))
+          .orderBy(col("doc_id"))))
+      .filter(col("_rk") === 1)
+    val words = graft.text.TextAnalysis.wsTokenCount(col("text"))
+    val st3 = surv.filter(words >= 20 && words <= 2000)
+    val st4 = st3.filter(col("lang") === "en")
+    def row(stage: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(name).as("name"), col("n_docs"))
+    row(1, "raw", docs)
+      .unionByName(row(2, "exact_dedup", surv))
+      .unionByName(row(3, "word_band", st3))
+      .unionByName(row(4, "lang_en", st4))
+      .orderBy("stage")
+  }
+
+  val qCurationFunnelSql: String =
+    """WITH s AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |surv AS (
+      |  SELECT lang,
+      |    len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |        w -> len(w) > 0)) AS nw
+      |  FROM s WHERE rk = 1)
+      |SELECT 1 AS stage, 'raw' AS name, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      |UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT) FROM surv
+      |UNION ALL SELECT 3, 'word_band', CAST(count(*) AS BIGINT) FROM surv
+      |  WHERE nw BETWEEN 20 AND 2000
+      |UNION ALL SELECT 4, 'lang_en', CAST(count(*) AS BIGINT) FROM surv
+      |  WHERE nw BETWEEN 20 AND 2000 AND lang = 'en'
+      |ORDER BY stage""".stripMargin
+
   /** Blocked fuzzy name matching, driver-verified
     * ([[graft.text.FuzzyMatch]] — record linkage over the part-name
     * dictionary): union-of-blocking-keys candidates (first-2 + last-2
