@@ -241,6 +241,13 @@ object DataScaleProbe {
       // scan should grow
       "q_seasonal_anomaly" -> ((s: SparkSession, d: String, _: Int) =>
         graft.queries.QueriesR7c.qSeasonalAnomaly(s, d)),
+      // curation funnel: one content-hash exchange + predicate scans —
+      // must stay linear in documents
+      "q_curation_funnel" -> ((s: SparkSession, d: String, _: Int) =>
+        graft.queries.QueriesR7c.qCurationFunnel(s, d)),
+      // fuzzy match reads the FIXED part table — out of the sweep like
+      // pagerank/profile_hist; its dictionary-sized contract is the
+      // scale story (PLANS.md)
       // the remedy: k ∝ n keeps expected cluster size constant, so the
       // same operator returns to near-linear
       "semdedup (k ∝ n)" -> ((s: SparkSession, d: String, scale: Int) => {

@@ -150,6 +150,10 @@ object PlanDump {
     // seasonal anomaly: the densify grid + ONE (type, hod) key exchange
     // for the median window + the flags join — no corpus-sized window
     dump("q_seasonal_anomaly", graft.queries.QueriesR7c.qSeasonalAnomaly(s, dir))
+    // fuzzy match runs on the distinct-name dictionary; the funnel is
+    // one content-hash exchange + codegen stage predicates
+    dump("q_fuzzy_match", graft.queries.QueriesR7c.qFuzzyMatch(s, dir))
+    dump("q_curation_funnel", graft.queries.QueriesR7c.qCurationFunnel(s, dir))
     s.stop()
   }
 }
