@@ -129,18 +129,26 @@ object QueriesR6 {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
     val srcDir = s"$base/src"
     docs.repartition(8, col("doc_id")).write.mode("overwrite").parquet(srcDir)
-    val query = graft.streaming.StreamingPipeline.dedupExactStream(
-        spark.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 2).parquet(srcDir),
-        textCol = "text", tsCol = "ts", horizon = "1 hour")
-      .select("text")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // deterministic micro-batch assignment (mtime order == partition
+    // order) + state partitions sized to the demo stream's ~10³-key
+    // state instead of the session's batch shuffle width — the output
+    // SET is partitioning-invariant either way, the store commits per
+    // trigger are not free
+    graft.streaming.StreamingPipeline.pinFileOrder(spark, srcDir)
+    graft.streaming.StreamingPipeline.withStatePartitions(spark, 8) {
+      val query = graft.streaming.StreamingPipeline.dedupExactStream(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(srcDir),
+          textCol = "text", tsCol = "ts", horizon = "1 hour")
+        .select("text")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$base/out").select("text").orderBy("text")
   }
   val qStreamDedupSql: String =

@@ -163,20 +163,27 @@ object QueriesR7 {
     // path order (the sentinel lands in the last file by construction)
     ev.unionByName(sentinels).repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$base/src")
-    val query = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
-      .withWatermark("ts", "30 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"), col("n_events"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // pin mtimes ascending so the time-order consumption the watermark
+    // relies on holds by construction, not by path tie-break; 8 state
+    // partitions (vs the session's batch shuffle width) cut the
+    // per-trigger store commits — session results are key-invariant
+    graft.streaming.StreamingPipeline.pinFileOrder(spark, s"$base/src")
+    graft.streaming.StreamingPipeline.withStatePartitions(spark, 8) {
+      val query = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
       .filter(col("session_start") < lit(cutoff)) // drop the sentinel sessions
       .select(col("user_id"),

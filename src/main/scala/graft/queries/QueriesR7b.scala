@@ -95,20 +95,25 @@ object QueriesR7b {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_windows")
     ev.unionByName(sentinels).repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$base/src")
-    val query = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
-      .withWatermark("ts", "30 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").cast("long").as("w_start"), col("event_type"),
-        col("n_events"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // pin mtimes ascending (time-order consumption by construction, not
+    // path tie-break); 8 state partitions — window counts key-invariant
+    graft.streaming.StreamingPipeline.pinFileOrder(spark, s"$base/src")
+    graft.streaming.StreamingPipeline.withStatePartitions(spark, 8) {
+      val query = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").cast("long").as("w_start"), col("event_type"),
+          col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
       .filter(col("w_start") < cutoffSec) // drop the sentinel windows
       .orderBy("w_start", "event_type")

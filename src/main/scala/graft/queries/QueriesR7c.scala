@@ -536,7 +536,7 @@ object QueriesR7c {
       .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
       .distinct()
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val ranks = graft.graph.PageRank.run(edges, "src", "dst",
+    val ranks = graft.graph.PageRank.runPersisted(edges, "src", "dst",
       iters = PageRankIters)
     val w = Window.orderBy(col("rank").desc, col("node"))
     ranks.withColumn("pos", row_number().over(w)).filter(col("pos") <= 30)
@@ -641,24 +641,34 @@ object QueriesR7c {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_attrib")
     ev.repartitionByRange(4, col("ts"))
       .write.mode("overwrite").parquet(s"$base/src")
-    def side(tpe: String, alias: String) = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
-      .filter(col("event_type") === tpe)
-      .select(col("user_id").as(s"${alias}_user"), col("ts").as(s"${alias}_ts"))
-      .withWatermark(s"${alias}_ts", "1 hour")
-    val query = side("view", "v").join(side("click", "c"),
-        col("v_user") === col("c_user") &&
-          col("c_ts") >= col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("interval 1 hour"))
-      .select(col("v_user").as("user_id"), col("v_ts").as("view_ts"),
-        col("c_ts").as("click_ts"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // the completeness claim below REQUIRES event-time-ordered file
+    // consumption; pin mtimes ascending so it holds by construction
+    // (previously only the path tie-break on near-identical mtimes
+    // guaranteed it). 8 state partitions: a stream-stream join runs
+    // FOUR state stores per partition per trigger — at the session's
+    // batch shuffle width that is pure commit overhead for this state
+    // volume, and join results are key-invariant.
+    graft.streaming.StreamingPipeline.pinFileOrder(spark, s"$base/src")
+    graft.streaming.StreamingPipeline.withStatePartitions(spark, 8) {
+      def side(tpe: String, alias: String) = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/src")
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${alias}_user"), col("ts").as(s"${alias}_ts"))
+        .withWatermark(s"${alias}_ts", "1 hour")
+      val query = side("view", "v").join(side("click", "c"),
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("interval 1 hour"))
+        .select(col("v_user").as("user_id"), col("v_ts").as("view_ts"),
+          col("c_ts").as("click_ts"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.read.parquet(s"$base/out")
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),

@@ -22,6 +22,53 @@ import graft.TranscriptPipeline
   */
 object StreamingPipeline {
 
+  /** Run `body` (build + start + await a streaming query) with
+    * `spark.sql.shuffle.partitions` pinned to the stream's STATE
+    * partition count, restoring the session value afterwards. A
+    * stateful stream fixes its state-store partition count from the
+    * shuffle setting at the FIRST micro-batch and every later batch
+    * pays (partitions × state stores) open/commit round-trips per
+    * trigger — pure fixed cost when state is small. The default comes
+    * from `spark.graft.stream.statePartitions` (conf, so a production
+    * deployment sizes it to state volume — ~10⁵-10⁶ keys per partition
+    * is a sane target — without touching code); absent that, `n`.
+    * Batch-query planning after `body` returns is unaffected: the
+    * session value is restored before the caller's next plan.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    val target = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(key, target)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Order a directory's part files by ascending name → strictly
+    * ascending modification time, so `FileStreamSource`'s
+    * (mtime, path) ordering consumes them in exactly partition order
+    * regardless of how concurrently the batch write finished. The
+    * range-partitioned sources the streaming queries replay rely on
+    * file order == event-time order for watermark completeness; with
+    * near-identical mtimes from a parallel write that held only by the
+    * path tie-break. Driver-side, one listing + one setTimes per file —
+    * file-count-bounded, no data pass.
+    */
+  def pinFileOrder(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      fs.setTimes(f, t0 + i * 1000L, -1L)
+    }
+  }
+
   /** Minimum micro-batch payload per core before per-trigger fixed cost
     * (planning, codegen, broadcast rebuilds, offset/commit-log writes —
     * all core-count-independent) dominates the batch duration. Measured,

@@ -46,6 +46,26 @@ class PageRankSpec extends SparkTestBase {
     assert(a == localRank(edges, 4, 1000000000000L))
   }
 
+  test("runPersisted is bit-identical to the unrolled form at K=16") {
+    // deep iteration count: the regime the persisted form exists for —
+    // equality here pins that materialising ranks between rounds
+    // (localCheckpoint) and pre-joining out-degrees changes nothing
+    val edges = (1 to 150).flatMap(i =>
+      Seq((i.toLong, ((i * 11) % 60).toLong + 500L), (((i * 5) % 45).toLong + 500L, i.toLong)))
+    val df = edges.toDF("src", "dst")
+    val unrolled = PageRank.run(df, "src", "dst", iters = 16, totalMass = 999999999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val persisted = PageRank.runPersisted(df, "src", "dst", iters = 16, totalMass = 999999999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(persisted == unrolled, "persisted-iteration ranks must match the unrolled reference")
+    assert(persisted == localRank(edges, 16, 999999999L))
+  }
+
+  test("runPersisted guards: empty graph fails loudly") {
+    intercept[IllegalArgumentException](
+      PageRank.runPersisted(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", 2))
+  }
+
   test("guards: empty graph and bad iters fail loudly") {
     intercept[IllegalArgumentException](
       PageRank.run(Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", 0))
