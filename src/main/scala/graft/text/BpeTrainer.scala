@@ -37,8 +37,11 @@ object BpeTrainer {
       .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(concat(lit(" "),
-        regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("f"))
+      // AsciiSpacedChars == concat(' ', regexp_replace(w,'(.)','$1 '))
+      // as a single byte pass (spec-pinned equal); the vocab is small
+      // but the encode path shares the identical padding, so both
+      // sides stay bit-aligned by construction
+      .select(graft.functions.AsciiSpacedChars(col("w")).as("seg"), col("f"))
     // iterations run on the vocab relation; persist the base so the
     // replace chain re-derives from memory, not from the corpus
     vocab0.persist()
@@ -91,20 +94,25 @@ object BpeTrainer {
       merges: Seq[(String, String)]): DataFrame = {
     require(merges.forall { case (a, b) =>
       a.matches("^[a-z]+$") && b.matches("^[a-z]+$") }, "non-ASCII merge symbol")
-    val seg = merges.foldLeft(
-      "concat(' ', regexp_replace(w, '(.)', '$1 '))") { case (e, (a, b)) =>
-      s"replace($e, ' $a $b ', ' $a$b ')"
+    // the padded segmentation via one byte-pass expression (spec-pinned
+    // equal to the regexp_replace spelling) + the literal replace chain;
+    // the token count is spaces−1 on the padded form — symbols stay
+    // single-space-separated through every merge, so counting spaces
+    // replaces the trim + regex split + array size of the old spelling
+    val seg = merges.foldLeft(graft.functions.AsciiSpacedChars(col("w"))) {
+      case (c, (a, b)) => replace(c, lit(s" $a $b "), lit(s" $a$b "))
     }
+    val ntok = (octet_length(seg)
+      - octet_length(replace(seg, lit(" "), lit(""))) - 1).cast("long")
     docs.select(col(idCol),
         explode_outer(split(coalesce(col(textCol), lit("")), " ")).as("w"))
       // gate the merge chain on the word test: ntok is only CONSUMED
       // under isw, so non-word tokens (punctuation, numbers — routinely
       // a large slice of whitespace tokens on the every-document encode
-      // path) skip the regexp + N-replace chain instead of computing a
+      // path) skip the padding + N-replace chain instead of computing a
       // value the aggregate throws away
       .select(col(idCol), col("w").rlike("^[a-z]+$").as("isw"),
-        when(col("w").rlike("^[a-z]+$"),
-          expr(s"size(split(trim($seg), ' '))").cast("long")).otherwise(0L)
+        when(col("w").rlike("^[a-z]+$"), ntok).otherwise(0L)
           .as("ntok"))
       .groupBy(col(idCol))
       .agg(sum(when(col("isw"), 1L).otherwise(0L)).as("n_words"),

@@ -50,6 +50,21 @@ class BpeTrainerSpec extends SparkTestBase {
     texts.flatMap(_.split(" ")).filter(_.matches("^[a-z]+$"))
       .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
 
+  test("AsciiSpacedChars padding is byte-identical to the regexp_replace spelling") {
+    import org.apache.spark.sql.functions._
+    // the r8 encode fast path swapped concat(' ', regexp_replace(w,'(.)','$1 '))
+    // for a single byte pass — pin equality on ASCII words, the empty
+    // string, and multi-byte text (code-point semantics, incl. a
+    // surrogate-pair emoji)
+    val words = Seq("cat", "a", "", "lowest", "héllo", "日本語", "a😀b")
+    val rows = words.toDF("w").select(
+        graft.functions.AsciiSpacedChars(col("w")).as("fast"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("regex"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"mismatch: '${r.getString(0)}' vs '${r.getString(1)}'"))
+  }
+
   test("hand case: tie broken lexicographically, merges chain onto merged symbols") {
     val texts = Seq("low low lower", "lowest low")
     // (l,o) and (o,w) both weigh 5 → lex tie-break picks (l,o); then
