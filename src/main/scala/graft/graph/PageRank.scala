@@ -97,8 +97,15 @@ object PageRank {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // pre-partition + pre-sort the loop-invariant relations on their
+    // join keys (the Dedup.clusters pattern): the cached partitioning/
+    // ordering survives persist, so each round's sort-merge joins reuse
+    // the big cached side as-is and only the (node-sized) rank side
+    // exchanges — without this, every round re-exchanged and re-sorted
+    // the edge relation
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).sortWithinPartitions("node")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // bounded: one scalar — the vertex count
     require(n > 0, "empty graph")
@@ -107,6 +114,7 @@ object PageRank {
     // every round (the unrolled form re-plans this join per round)
     val esrc = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var r = nodes.select(col("node"), lit(base).as("rank"))
     var it = 0

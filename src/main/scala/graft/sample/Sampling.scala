@@ -76,6 +76,15 @@ object Sampling {
     * group counts are corpus statistics (one aggregate, group-bounded),
     * the thresholds are config-sized plan state, and the keep pass is
     * the same zero-shuffle md5 predicate as [[mixtureKeep]].
+    *
+    * Disclosed edges: group keys must be NON-NULL (callers aggregate
+    * them from a non-null column; a null key would NPE in the sort
+    * here and in [[mixtureKeepHex]]'s equality chain), and a group so
+    * large that `t64` floors to 0 gets threshold `"00000000"` — no md5
+    * prefix is `< "00000000"`, so that group drops ENTIRELY rather
+    * than sampling at a sub-2⁻³² rate. Both follow from the integer
+    * spelling the oracle replays; neither occurs for the declared
+    * queries' inputs.
     */
   def temperatureThresholds(counts: Seq[(String, Long)],
       targetTotal: Long): Map[String, String] = {

@@ -28,6 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * task death on a corrupt row); a missing trailing dimension simply
   * yields a shorter code row.
   *
+  * Precondition (part of the determinism contract): embedding elements
+  * are FINITE and non-null. A NaN element codes as 0 here (both clamp
+  * comparisons false, `NaN.toInt == 0`) while a DuckDB replay's
+  * `least(255, floor(NaN))` yields 255 (NaN sorts greatest there) and
+  * its `string_agg` silently drops NULL codes — i.e. non-finite/null
+  * elements are where the two engines' conventions part ways, so they
+  * are excluded by contract rather than papered over.
+  *
   * The reference has no vector surface (this is the task-mandated
   * training-data addendum); the nearest analogue is its bounded
   * fixed-width field handling in `lc-lib/event/event.go`.

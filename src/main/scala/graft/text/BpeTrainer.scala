@@ -96,14 +96,16 @@ object BpeTrainer {
       a.matches("^[a-z]+$") && b.matches("^[a-z]+$") }, "non-ASCII merge symbol")
     // the padded segmentation via one byte-pass expression (spec-pinned
     // equal to the regexp_replace spelling) + the literal replace chain;
-    // the token count is spaces−1 on the padded form — symbols stay
-    // single-space-separated through every merge, so counting spaces
-    // replaces the trim + regex split + array size of the old spelling
+    // the token count is size(split(seg, ' ')) − 2 — the padded form
+    // always has exactly one leading and one trailing space and single
+    // interior separators, so the split yields tokens + 2 empty edge
+    // elements. One reference to `seg` (the old trim+split spelling
+    // also referenced it once; a spaces-count spelling would embed the
+    // replace chain twice and double the cold plan/codegen cost)
     val seg = merges.foldLeft(graft.functions.AsciiSpacedChars(col("w"))) {
       case (c, (a, b)) => replace(c, lit(s" $a $b "), lit(s" $a$b "))
     }
-    val ntok = (octet_length(seg)
-      - octet_length(replace(seg, lit(" "), lit(""))) - 1).cast("long")
+    val ntok = (size(split(seg, " ", -1)) - 2).cast("long")
     docs.select(col(idCol),
         explode_outer(split(coalesce(col(textCol), lit("")), " ")).as("w"))
       // gate the merge chain on the word test: ntok is only CONSUMED
